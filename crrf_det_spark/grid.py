@@ -1,0 +1,894 @@
+"""Pure-numpy layout-analysis core (text-space analogue of the reference's
+``pseg`` module, /root/reference/src/tpdf/pseg.py).
+
+The reference operates on a binarized page raster (400px narrow side).  This
+engine re-expresses the same projection-profile / grid-line heuristics over a
+**line x char occupancy grid** derived from a transcript turn's text:
+
+* grid cell value 1 = blank (the reference's white 255), 0 = content (ink).
+* horizontal unit = one character column  (~5px at the reference's 400px/80col
+  scale; px thresholds are divided by ~5 below).
+* vertical unit   = 1/4 of a text line: line ``L`` occupies v-interval
+  ``[4L, 4L+3]`` (content height 3) and the inter-line gap is 1 v-unit,
+  mirroring the reference's ~8px glyph + ~3px leading at 400px scale
+  (1 v-unit ~ 2.7px; px thresholds divided by ~2.7 below).
+
+Every public function cites the reference routine it re-expresses.  All code
+here is per-turn and vectorized numpy; it runs inside Arrow batches in the
+Spark pipeline (crrf_det_spark.pipeline) with zero per-row Python at the
+DataFrame level.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants (char/v-space ports of the reference's pixel constants)
+# ---------------------------------------------------------------------------
+
+V_UNIT = 4          # v-units per text line (content 3 + gap 1)
+LINE_H = 3          # content height of one line in v-units
+
+# columns_from_image (pseg.py:209-371)
+MIN_COLUMN_SPACING = 3      # ref 15px  (pseg.py:233)
+MIN_COLUMN_WIDTH = 20       # ref 100px (pseg.py:234)
+COLUMN_BLANK_FRACTION = 0.95  # ref hough line_length=0.95*height (pseg.py:240)
+
+# row_groups_from_columns (pseg.py:389-609), v-units (~2.7px each)
+MIN_SPACING_HARD_SPLIT = 9   # ref 25px  (pseg.py:419)
+MIN_SPACING_SOFT_SPLIT = 4   # ref 10px  (pseg.py:418)
+MIN_SPACING_MULTIPLE = 1.75  # ref       (pseg.py:422)
+MIN_SINGLE_ROW_GROUP_HEIGHT = 28  # ref 75px (pseg.py:423)
+TITLE_MIN_SPACING = 3        # ref 9px   (pseg.py:415)
+TITLE_MIN_HEIGHT = 4         # ref 10px  (pseg.py:416)
+# text-space addition: a blank text line (spacing 4k+1 >= 5 for k>=1 blank
+# lines) always separates blocks -- the analogue of the reference's
+# BLUR_SIGMA=4 paragraph connector (pseg.py:183): adjacent lines "touch",
+# anything across a blank line does not.
+MIN_BLOCK_SPLIT = 5
+
+# row_hspacings_from_row_groups (pseg.py:612-704)
+MIN_SPACING_SPAN = 2        # ref 5px (pseg.py:641): 1-char gaps are content
+BULLET_MAX_CONTENT = 1      # ref 2px bullet run (pseg.py:686)
+BULLET_MAX_MERGE = 4        # ref 20px merge cap (pseg.py:693-695)
+
+# tablevspan.remove_busy_column_rectangles (pseg.py:929-974)
+BUSY_COLUMN_CONTENT_RUN_LENGTH = 14  # ref 70px portrait (pseg.py:934)
+BUSY_COLUMN_ROW_COUNT = 10           # ref (pseg.py:935)
+
+# margin boilerplate strip (prepare_images_for_segmentation clears the top
+# 4.5% and 3.5% sides, pseg.py:190-197): first/last 2 lines matching this
+# pattern are treated as header/footer chrome and blanked.
+BOILERPLATE_MARGIN_LINES = 2
+BOILERPLATE_RE = re.compile(
+    r"^\s*(?:\[(?:HEADER|FOOTER)\b[^\]]*\].*"
+    r"|Page \d+(?: of \d+)?"
+    r"|[-=_~*]{4,})\s*$"
+)
+
+
+def v_start(line: int) -> int:
+    return V_UNIT * line
+
+
+def v_end(line: int) -> int:
+    return V_UNIT * line + LINE_H
+
+
+# ---------------------------------------------------------------------------
+# stage 0: occupancy grid (analogue of prepare_images_for_segmentation,
+# pseg.py:161-206)
+# ---------------------------------------------------------------------------
+
+def strip_boilerplate(lines: list[str]) -> list[str]:
+    """Blank header/footer chrome in the first/last margin lines.
+
+    Analogue of the reference's margin clearing (pseg.py:190-197): the top
+    4.5% of a 400px page (~2 text lines) is forced to white before analysis.
+    """
+    out = list(lines)
+    n = len(out)
+    for i in range(min(BOILERPLATE_MARGIN_LINES, n)):
+        if out[i] and BOILERPLATE_RE.match(out[i]):
+            out[i] = ""
+    for i in range(max(0, n - BOILERPLATE_MARGIN_LINES), n):
+        if out[i] and BOILERPLATE_RE.match(out[i]):
+            out[i] = ""
+    return out
+
+
+def occupancy_from_text(text: str) -> tuple[np.ndarray, list[str]]:
+    """text -> (grid, lines). grid[l, c] = 1 blank / 0 content.
+
+    Analogue of binarization (pseg.py:199): ``im_bin_clear`` white=255 maps
+    to blank=1 here.  Tabs are expanded to preserve column alignment.
+    """
+    lines = [ln.expandtabs(4).rstrip("\n") for ln in text.split("\n")]
+    lines = strip_boilerplate(lines)
+    width = max((len(ln) for ln in lines), default=0)
+    if width == 0 or not lines:
+        return np.ones((max(len(lines), 1), 1), dtype=np.uint8), lines
+    grid = np.ones((len(lines), width), dtype=np.uint8)
+    for i, ln in enumerate(lines):
+        if not ln:
+            continue
+        arr = np.frombuffer(ln.encode("utf-8", "replace")[: len(ln)], dtype=np.uint8)
+        # non-space bytes are content; multibyte chars may shift byte/char
+        # alignment, so fall back to a per-char mask for non-ascii lines
+        if len(arr) == len(ln):
+            grid[i, : len(ln)] = (arr == 0x20).astype(np.uint8)
+        else:
+            grid[i, : len(ln)] = np.array(
+                [1 if ch == " " else 0 for ch in ln], dtype=np.uint8
+            )
+    return grid, lines
+
+
+# ---------------------------------------------------------------------------
+# stage 1: column detection (analogue of columns_from_image, pseg.py:209-371)
+# ---------------------------------------------------------------------------
+
+def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]]]:
+    """Detect page columns from near-full-height blank char-column runs.
+
+    Returns (columns, spacings); both are ``[left, right)`` half-open char
+    ranges (deviation from the reference's inclusive-right for clarity).
+
+    The reference finds full-height white verticals with a probabilistic
+    Hough transform (pseg.py:240); on an axis-aligned char grid the same
+    signal is the per-column blank fraction >= 0.95.
+    """
+    n_lines, width = grid.shape
+    blank_frac = grid.sum(axis=0) / float(n_lines)
+    is_space_col = blank_frac >= COLUMN_BLANK_FRACTION
+
+    # run-length the qualifying columns into spacings (pseg.py:244-259)
+    spacings: list[list[int]] = []
+    columns: list[list[int]] = []
+    x = 0
+    while x < width:
+        if is_space_col[x]:
+            x0 = x
+            while x < width and is_space_col[x]:
+                x += 1
+            spacings.append([x0, x])
+        else:
+            x0 = x
+            while x < width and not is_space_col[x]:
+                x += 1
+            columns.append([x0, x])
+
+    # guarantee sentinel edge margins so downstream heuristics that
+    # reference spacings[0]/spacings[-1] (page margins, always present in
+    # the reference thanks to the 3.5% side clearing) stay well-defined.
+    if not spacings or spacings[0][0] != 0:
+        spacings.insert(0, [0, 0])
+    if spacings[-1][1] != width:
+        spacings.append([width, width])
+
+    if not columns:
+        return [], spacings
+
+    # early single-column pass for busy portrait pages (pseg.py:263-272)
+    spacing_widths = [s[1] - s[0] for s in spacings]
+    large_spacing_count = sum(
+        1 for w in spacing_widths[1:-1] if w > MIN_COLUMN_SPACING
+    )
+    if large_spacing_count >= 3 and len(spacing_widths) >= 6:
+        sl, sr = spacings[0], spacings[-1]
+        return [[sl[1], sr[0]]], [sl, sr]
+
+    # merge columns with very narrow spacing (pseg.py:275-287)
+    merged: list[list[int]] = []
+    for col in columns:
+        if merged and col[0] - merged[-1][1] < MIN_COLUMN_SPACING:
+            merged[-1] = [merged[-1][0], col[1]]
+        else:
+            merged.append(list(col))
+    columns = merged
+    # eliminate narrow interior spacings (pseg.py:289)
+    spacings = [
+        s
+        for i, s in enumerate(spacings)
+        if (s[1] - s[0]) >= MIN_COLUMN_SPACING or i == 0 or i == len(spacings) - 1
+    ]
+
+    if len(columns) > 3:
+        # too many columns: either a two-column layout with wide table
+        # spacings, or a single big table (pseg.py:291-349)
+        middle_idx = -1
+        for middle in (
+            width / 2,
+            spacings[-1][1] / 2,
+            spacings[-1][0] / 2,
+            (spacings[-1][0] + spacings[-1][1]) / 4,
+            spacings[0][1] + width / 2,
+        ):
+            for spc_idx, s in enumerate(spacings):
+                if s[1] >= middle and s[0] <= middle:
+                    middle_idx = spc_idx
+                    break
+            if middle_idx != -1:
+                break
+        if middle_idx != -1 and spacings[middle_idx][1] > spacings[middle_idx][0]:
+            # two-column collapse (pseg.py:336-339, simplified: the rogue-
+            # spacing merge path reduces to the same two-column outcome on a
+            # char grid where gutters are exact)
+            s0, sm, s1 = spacings[0], spacings[middle_idx], spacings[-1]
+            columns = [[s0[1], sm[0]], [sm[1], s1[0]]]
+            spacings = [s0, sm, s1]
+        elif len(spacings) >= 2:
+            # heuristic #2: likely one big table -> single column
+            # (pseg.py:341-349)
+            sl, sr = spacings[0], spacings[-1]
+            columns = [[sl[1], sr[0]]]
+            spacings = [sl, sr]
+
+    # narrow column => whole page is a single table (pseg.py:351-369)
+    spacing_widths = [s[1] - s[0] for s in spacings]
+    if spacing_widths and max(spacing_widths) < width / 4 and len(columns) > 1:
+        narrow = any(
+            (col[1] - col[0]) < MIN_COLUMN_WIDTH for col in columns[1:]
+        )
+        if narrow:
+            sl, sr = spacings[0], spacings[-1]
+            columns = [[sl[1], sr[0]]]
+            spacings = [sl, sr]
+
+    return columns, spacings
+
+
+# ---------------------------------------------------------------------------
+# stage 2: row groups (analogue of row_groups_from_columns, pseg.py:389-609)
+# ---------------------------------------------------------------------------
+
+def _row_pattern(crop_line: np.ndarray) -> int:
+    """Content pattern of one line: 0=full 1=left 2=right 3=middle
+    (pseg.py:456-467)."""
+    w = crop_line.shape[0]
+    half = w // 2
+    quar = half // 2
+    if half == 0:
+        return 0
+    if crop_line[:half].all():
+        return 2
+    if crop_line[w - half:].all():
+        return 1
+    if quar and crop_line[:quar].all() and crop_line[w - quar:].all():
+        return 3
+    return 0
+
+
+def row_groups_from_column(
+    grid: np.ndarray, column: list[int]
+) -> tuple[list[list[list[int]]], np.ndarray]:
+    """Rows (one per text line, in v-units) grouped by vertical spacing.
+
+    Returns (row_groups, row_vspacings) for one column.  row_groups is a
+    list of groups; each group is a list of ``[v_start, v_end]`` rows.
+    row_vspacings mirrors the reference's per-line 0=text/1=spacing vector
+    (pseg.py:443-447), indexed by text line.
+
+    The grouping re-expresses the reference's bottom-up stateful sweep
+    (pseg.py:487-570): hard split on tall spacing, compact-single-row split,
+    title split, and soft split on spacing > 1.75x the running average, plus
+    the text-space block rule (MIN_BLOCK_SPLIT: a blank line always splits,
+    the analogue of the blur-connector, pseg.py:183).
+    """
+    crop = grid[:, column[0]: column[1]]
+    n_lines = crop.shape[0]
+    line_blank = crop.all(axis=1)
+    row_vspacings = line_blank.astype(np.uint8)
+
+    all_rows: list[list[int]] = []
+    all_patterns: list[int] = []
+    for i in range(n_lines):
+        if not line_blank[i]:
+            all_rows.append([v_start(i), v_end(i)])
+            all_patterns.append(_row_pattern(crop[i]))
+    if not all_rows:
+        return [], row_vspacings
+
+    row_groups: list[list[list[int]]] = []
+    rows: list[list[int]] = []
+    rows_spacings = 0
+    last_spacing = 0
+    last_row_height = 0
+    row_patterns = [False, False, False, False]
+    for i in reversed(range(len(all_rows))):
+        r_start, r_end = all_rows[i]
+        row_patterns[all_patterns[i]] = True
+        if not rows:
+            rows.insert(0, [r_start, r_end])
+            last_spacing = 0
+        else:
+            spacing = rows[0][0] - r_end
+            height = r_end - r_start
+            if (
+                # hierarchical outer-row merge (pseg.py:508-516, ref >=5px);
+                # gated below MIN_BLOCK_SPLIT so it never crosses a blank
+                # text line (which in text space is always a block boundary)
+                2 <= spacing < MIN_BLOCK_SPLIT
+                and spacing >= last_spacing
+                and len(rows) == 1
+                and row_groups
+                and row_groups[0][0][1] - row_groups[0][0][0]
+                < MIN_SINGLE_ROW_GROUP_HEIGHT
+                and last_row_height < MIN_SINGLE_ROW_GROUP_HEIGHT
+            ):
+                # outer-level content row belongs to the group just formed
+                # (pseg.py:508-516)
+                row_groups[0].insert(0, rows[0])
+                rows_spacings = 0
+                rows = []
+            elif (
+                spacing >= MIN_SPACING_HARD_SPLIT
+                or spacing >= MIN_BLOCK_SPLIT  # text-space block rule
+                or (
+                    len(rows) >= 1
+                    and rows[0][1] - rows[0][0] >= MIN_SINGLE_ROW_GROUP_HEIGHT
+                    and spacing > 1
+                )
+                or (
+                    len(rows) >= 2
+                    and row_patterns[0]
+                    and row_patterns[1]
+                    and row_patterns[2]
+                    and all_patterns[i + 1] == 2
+                    and all_patterns[i] == 1
+                )
+                or (
+                    len(rows) >= 2
+                    and row_patterns[0]
+                    and row_patterns[1]
+                    and all_patterns[i + 1] == 0
+                    and all_patterns[i] == 1
+                    and spacing
+                    > rows_spacings / (len(rows) - 1) * MIN_SPACING_MULTIPLE
+                )
+                or (
+                    len(rows) >= 2
+                    and spacing
+                    > rows_spacings / (len(rows) - 1) * MIN_SPACING_MULTIPLE
+                    and spacing > MIN_SPACING_SOFT_SPLIT
+                )
+                or (
+                    i == 0
+                    and all_patterns[i] != 0
+                    and (
+                        (height >= TITLE_MIN_HEIGHT and spacing >= TITLE_MIN_SPACING)
+                        or height <= spacing
+                    )
+                )
+            ):
+                row_groups.insert(0, rows)
+                row_patterns = [False, False, False, False]
+                rows_spacings = 0
+                rows = []
+            else:
+                rows_spacings += spacing
+            rows.insert(0, [r_start, r_end])
+            last_spacing = spacing
+            last_row_height = r_end - r_start
+    if rows:
+        row_groups.insert(0, rows)
+    return row_groups, row_vspacings
+
+
+# ---------------------------------------------------------------------------
+# stage 3: per-row horizontal spacing profiles
+# (analogue of row_hspacings_from_row_groups, pseg.py:612-704)
+# ---------------------------------------------------------------------------
+
+def row_hspacings_from_rows(
+    grid: np.ndarray, column: list[int], rows: list[list[int]]
+) -> np.ndarray:
+    """2-D profile (n_rows x column_width), 1=spacing 0=content.
+
+    Vectorized like the reference's diff/where idiom (pseg.py:662-669):
+    spacing runs narrower than MIN_SPACING_SPAN are folded into content, and
+    short left-edge bullets are merged rightward (pseg.py:677-698).
+    """
+    crop = grid[:, column[0]: column[1]]
+    out = np.zeros((len(rows), crop.shape[1]), dtype=np.uint8)
+    for ri, (r0, _r1) in enumerate(rows):
+        line = r0 // V_UNIT
+        sp = crop[line].copy()
+        _eliminate_narrow_spacing(sp)
+        _merge_bullets(sp)
+        out[ri] = sp
+    return out
+
+
+def _eliminate_narrow_spacing(sp: np.ndarray) -> None:
+    d = np.diff(sp.astype(np.int16))
+    starts = np.where(d == 1)[0] + 1
+    ends = np.where(d == -1)[0] + 1
+    for s in starts:
+        e_candidates = ends[ends > s]
+        e = e_candidates[0] if len(e_candidates) else len(sp)
+        if e - s < MIN_SPACING_SPAN:
+            sp[s:e] = 0
+    # leading run is never narrowed (left margin), matching the reference
+    # where the crop starts inside the column
+
+
+def _merge_bullets(sp: np.ndarray) -> None:
+    quarter = len(sp) // 4
+    c_len = 0
+    merge_start = -1
+    for i in range(min(len(sp), max(quarter, 1))):
+        if sp[i] == 1:
+            if 0 < c_len <= BULLET_MAX_CONTENT:
+                merge_start = i
+            c_len = 0
+        else:
+            if 0 <= merge_start and i - merge_start < BULLET_MAX_MERGE:
+                sp[merge_start:i] = 0
+            c_len += 1
+            merge_start = -1
+
+
+# ---------------------------------------------------------------------------
+# stage 4: vertical lines (analogue of vertical_lines_from_hspacings,
+# pseg.py:707-752)
+# ---------------------------------------------------------------------------
+
+def vertical_lines_from_hspacings(
+    row_hspacings: np.ndarray,
+) -> list[tuple[tuple[int, int], tuple[int, int]]]:
+    """Maximal all-spacing vertical runs >= 2 rows tall.
+
+    Coordinates are ((x, y_top), (x, y_bottom)) in (column-crop char,
+    group-row index) space, exactly as the reference.
+    """
+    lines = []
+    n_rows, width = row_hspacings.shape
+    for x in range(width):
+        col = row_hspacings[:, x]
+        y_top = None
+        y_bottom = None
+        for y in range(n_rows):
+            if col[y] == 0:
+                if y_top is not None and y_bottom is not None and y_bottom - y_top >= 1:
+                    lines.append(((x, y_top), (x, y_bottom)))
+                y_top = None
+                y_bottom = None
+            else:
+                if y_top is None:
+                    y_top = y
+                y_bottom = y
+        if y_top is not None and y_bottom is not None and y_bottom - y_top >= 1:
+            lines.append(((x, y_top), (x, y_bottom)))
+    # sort tall-to-short weighted by top position (pseg.py:749-751)
+    lines.sort(key=lambda ln: (ln[0][1] - ln[1][1]) * ln[0][1])
+    return lines
+
+
+# ---------------------------------------------------------------------------
+# stage 5: tablevspan chain (analogue of class tablevspan, pseg.py:785-1185)
+# ---------------------------------------------------------------------------
+
+Rect = tuple[tuple[int, int], tuple[int, int]]
+
+
+def group_adjacent_lines(lines: list) -> list[Rect]:
+    """Adjacent same-height lines -> rectangles (pseg.py:795-815)."""
+    rects: list[Rect] = []
+    if not lines:
+        return rects
+    rect = lines[0]
+    for line in lines[1:]:
+        if (
+            line[1][1] == rect[1][1]
+            and line[0][1] == rect[0][1]
+            and (rect[0][0] - line[0][0] == 1 or line[0][0] - rect[1][0] == 1)
+        ):
+            rect = (
+                (min(line[0][0], rect[0][0]), rect[0][1]),
+                (max(line[0][0], rect[1][0]), rect[1][1]),
+            )
+        else:
+            rects.append(rect)
+            rect = line
+    rects.append(rect)
+    return rects
+
+
+def remove_smaller_adjacent_rectangles(rects: list[Rect]) -> list[Rect]:
+    """Drop rects horizontally touching a taller-or-equal neighbour
+    (pseg.py:817-844)."""
+    adjacent: dict[Rect, list[Rect]] = {}
+    for key in rects:
+        touched = []
+        for rect in rects:
+            if rect == key:
+                continue
+            if (
+                (key[1][0] + 1 == rect[0][0] or key[0][0] == rect[1][0] + 1)
+                and min(key[1][1], rect[1][1]) - max(key[0][1], rect[0][1]) > 0
+                and rect[1][1] - rect[0][1] <= key[1][1] - key[0][1]
+            ):
+                touched.append(rect)
+        adjacent[key] = touched
+    out = list(rects)
+    for touched in adjacent.values():
+        for rect in touched:
+            if rect in out:
+                out.remove(rect)
+    return out
+
+
+def remove_edge_rectangles(rects: list[Rect], row_hspacings: np.ndarray) -> list[Rect]:
+    """Drop rects hugging the column edges, 1-char-wide rects, and rects
+    whose entire left/right side is blank (pseg.py:846-878)."""
+    width = row_hspacings.shape[1]
+    out = [
+        r
+        for r in rects
+        if not (r[0][0] == 0 or r[1][0] == width - 1 or r[1][0] - r[0][0] < 1)
+    ]
+    out.sort(key=lambda r: r[0][0])
+    kept = []
+    for (x0, y0), (x1, y1) in out:
+        left = row_hspacings[y0: y1 + 1, 0: x0 + 1]
+        right = row_hspacings[y0: y1 + 1, x1:width]
+        if np.all(left == 1) or np.all(right == 1):
+            continue
+        kept.append(((x0, y0), (x1, y1)))
+    return kept
+
+
+def is_first_rectangle_column_valid(
+    rects: list[Rect], row_hspacings: np.ndarray
+) -> bool:
+    """First table column must be >=60% filled and not anomalously short
+    (pseg.py:880-927)."""
+    if not rects:
+        return False
+    (x0, y0), (x1, y1) = rects[0]
+    filled = sum(
+        1
+        for i in range(y0, y1 + 1)
+        if row_hspacings[i, 0:x0].sum() < x0
+    )
+    height = 0.6 * (y1 - y0 + 1)
+    filled2 = 0
+    height2 = height
+    if len(rects) > 1:
+        (bx0, by0), (bx1, by1) = rects[1]
+        height2 = 0.6 * (by1 - by0 + 1)
+        filled2 = sum(
+            1
+            for i in range(by0, by1 + 1)
+            if row_hspacings[i, 0:bx0].sum() < bx0
+        )
+    if filled < height and filled2 < height2:
+        return False
+    if len(rects) > 1:
+        (x0, y0), (x1, y1) = rects[0]
+        col_heights = [r[1][1] - r[0][1] for r in rects[1:]]
+        thrs = float(np.median(col_heights))
+        cmax = float(np.max(col_heights))
+        bottoms = {r[1][1] for r in rects[1:]}
+        if (
+            y1 - y0 < thrs
+            and y1 - y0 < cmax / 2
+            and (y1 not in bottoms or y1 - y0 < 3)
+        ):
+            return False
+    return True
+
+
+def remove_busy_column_rectangles(
+    rects: list[Rect], row_hspacings: np.ndarray
+) -> list[Rect]:
+    """Kill the table if the two leftmost regions are prose-busy
+    (pseg.py:929-974), vectorized run-length instead of the reference's
+    per-pixel loop."""
+    if not rects:
+        return rects
+    width = row_hspacings.shape[1]
+    r1 = (0, rects[0][0][0])
+    r2 = (
+        (rects[0][1][0], rects[1][0][0])
+        if len(rects) >= 2
+        else (rects[0][1][0], width)
+    )
+
+    def busy_rows(lo: int, hi: int) -> tuple[int, int]:
+        if hi <= lo:
+            return 0, 0
+        seg = row_hspacings[:, lo:hi]
+        n_busy = 0
+        n_any = 0
+        for y in range(seg.shape[0]):
+            content = seg[y] == 0
+            if not content.any():
+                continue
+            n_any += 1
+            # longest run of content (diff/cumsum run-length)
+            padded = np.concatenate(([0], content.view(np.uint8), [0]))
+            d = np.diff(padded.astype(np.int16))
+            runs = np.where(d == -1)[0] - np.where(d == 1)[0]
+            if len(runs) and runs.max() >= BUSY_COLUMN_CONTENT_RUN_LENGTH:
+                n_busy += 1
+        return n_busy, n_any
+
+    b1, a1 = busy_rows(*r1)
+    b2, a2 = busy_rows(*r2)
+    if (b1 >= BUSY_COLUMN_ROW_COUNT and b2 >= BUSY_COLUMN_ROW_COUNT) or (
+        b1 >= a1 - 1 and b2 >= a2 - 1 and a1 >= 2 and a2 >= 2
+    ):
+        return []
+    return rects
+
+
+def build_table(
+    column: list[int],
+    rows: list[list[int]],
+    rects: list[Rect],
+) -> tuple[set, set]:
+    """Rects -> table row/col separator lines in (v, char) page coordinates
+    (pseg.py:976-1042).  Lines are 4-tuples (y, x0, y, x1) for rows and
+    (y0, x, y1, x) for cols, matching the reference's skimage.draw.line
+    argument order."""
+    table_rows: set = set()
+    for (x0, y0), (x1, y1) in rects:
+        for i in range(y0, y1):
+            row_y = (rows[i][1] + rows[i + 1][0]) // 2
+            table_rows.add((row_y, column[0], row_y, column[1] - 1))
+    # multiple tables in one group: shared tops/bottoms add rows
+    # (pseg.py:1001-1023)
+    rect_tops: dict[int, int] = {}
+    rect_bottoms: dict[int, int] = {}
+    for (x0, y0), (x1, y1) in rects:
+        if y0 == 0 or rows[y1][1] >= rows[-1][1]:
+            continue
+        rect_tops[y0] = rect_tops.get(y0, 0) + 1
+        rect_bottoms[y1] = rect_bottoms.get(y1, 0) + 1
+    for i, count in rect_tops.items():
+        if count >= 2 and i > 0:
+            row_y = (rows[i][0] + rows[i - 1][1]) // 2
+            table_rows.add((row_y, column[0], row_y, column[1] - 1))
+    for i, count in rect_bottoms.items():
+        if count >= 2 and i < len(rows) - 1:
+            row_y = (rows[i][1] + rows[i + 1][0]) // 2
+            table_rows.add((row_y, column[0], row_y, column[1] - 1))
+
+    table_cols: set = set()
+    for (x0, y0), (x1, y1) in rects:
+        if y0 > 0:
+            col_y_start = (rows[y0][0] + rows[y0 - 1][1]) // 2
+        else:
+            col_y_start = rows[y0][0]
+        if y1 < len(rows) - 1:
+            col_y_end = (rows[y1][1] + rows[y1 + 1][0]) // 2
+        else:
+            col_y_end = rows[y1][1]
+        col_x = column[0] + x0 + (x1 - x0) // 2
+        table_cols.add((col_y_start, col_x, col_y_end, col_x))
+    return table_rows, table_cols
+
+
+def find_intersections(
+    column: list[int], rows: list[list[int]], table_cols: set, table_rows: set
+) -> tuple[list, set, set]:
+    """Raster the separator lines and detect cross intersections
+    (pseg.py:1044-1126), restricted to known rows x cols like the
+    reference's optimized lookup (pseg.py:1106-1119)."""
+    col_shift = int(column[0])
+    row_shift = int(rows[0][0])
+    height = rows[-1][1] - rows[0][0]
+    width = column[1] - 1 - column[0]
+    img = np.ones((height + 1, width + 1), dtype=np.uint8)
+    first_row, last_row = 10000, 0
+    for r in table_rows:
+        img[int(r[0]) - row_shift, int(r[1]) - col_shift: int(r[3]) - col_shift + 1] = 0
+    for c in table_cols:
+        first_row = min(first_row, int(c[0]))
+        last_row = max(last_row, int(c[2]))
+        img[int(c[0]) - row_shift: int(c[2]) - row_shift + 1, int(c[1]) - col_shift] = 0
+    cross = np.array([[1, 0, 1], [0, 0, 0], [1, 0, 1]], dtype=np.uint8)
+    cross_dw = np.array([[1, 1, 1], [0, 0, 0], [1, 0, 1]], dtype=np.uint8)
+    cross_uw = np.array([[1, 0, 1], [0, 0, 0], [1, 1, 1]], dtype=np.uint8)
+    cross_lr = np.array([1, 0, 1], dtype=np.uint8)
+    intersections = [
+        (first_row - row_shift, 0),
+        (first_row - row_shift, img.shape[1] - 1),
+        (last_row - row_shift, 0),
+        (last_row - row_shift, img.shape[1] - 1),
+    ]
+    ups: set = set()
+    downs: set = set()
+    for r in range(1, img.shape[0] - 1):
+        if np.array_equal(img[r - 1: r + 2, 0], cross_lr):
+            intersections.append((r, 0))
+        if np.array_equal(img[r - 1: r + 2, img.shape[1] - 1], cross_lr):
+            intersections.append((r, img.shape[1] - 1))
+    for c in range(1, img.shape[1] - 1):
+        if np.array_equal(img[0, c - 1: c + 2], cross_lr):
+            intersections.append((0, c))
+        if np.array_equal(img[img.shape[0] - 1, c - 1: c + 2], cross_lr):
+            intersections.append((img.shape[0] - 1, c))
+    for trow in table_rows:
+        r = int(trow[0] - row_shift)
+        for tcol in table_cols:
+            c = int(tcol[1] - col_shift)
+            if r - 1 < 0 or r + 2 > img.shape[0] or c - 1 < 0 or c + 2 > img.shape[1]:
+                continue
+            w = img[r - 1: r + 2, c - 1: c + 2]
+            if (
+                np.array_equal(w, cross)
+                or np.array_equal(w, cross_dw)
+                or np.array_equal(w, cross_uw)
+            ):
+                intersections.append((r, c))
+                if np.array_equal(w, cross_dw):
+                    downs.add((r, c))
+                elif np.array_equal(w, cross_uw):
+                    ups.add((r, c))
+    if len(intersections) == 4:
+        intersections = []
+    intersections.sort(key=lambda p: p[0] * 100000 + p[1])
+    return intersections, ups, downs
+
+
+def find_cells(intersections: list, ups: set, downs: set) -> list:
+    """Pair top-left / bottom-right corners into cells with row/col spans
+    (pseg.py:1128-1185)."""
+    inter_set = set(intersections)
+    cells = []
+    for idx, (row, col) in enumerate(intersections):
+        if (row, col) in ups:
+            continue
+        if idx >= len(intersections) - 1:
+            continue
+        col_span = 0
+        row_span = 0
+        next_col = None
+        next_row = None
+        while True:
+            try:
+                next_col = intersections[idx + 1 + col_span][1]
+            except IndexError:
+                next_col = None
+                next_row = None
+                break
+            next_row = None
+            for i in range(idx + 1 + row_span, len(intersections)):
+                if intersections[i][1] == col:
+                    next_row = intersections[i][0]
+                    break
+            if (next_row, next_col) in downs:
+                col_span += 1
+                continue
+            if (next_row, next_col) not in inter_set:
+                col_span += 1
+                continue
+            if next_col == col:
+                col_span += 1
+                continue
+            if next_row == row:
+                row_span += 1
+                continue
+            break
+        if next_row is not None and next_row > row and next_col > col:
+            cells.append((row, col, next_row, next_col))
+    cells = sorted(set(cells), key=lambda c: c[0] * 100000 + c[1])
+    return cells
+
+
+# ---------------------------------------------------------------------------
+# stage 6: text blocks (analogue of text_boxes_from_image, pseg.py:755-782)
+# ---------------------------------------------------------------------------
+
+def group_bboxes(
+    grid: np.ndarray,
+    columns: list[list[int]],
+    column_row_groups: dict[int, list[list[list[int]]]],
+) -> dict[tuple[int, int], tuple[int, int, int, int]]:
+    """Content-tight bounding box per (column, row-group).
+
+    The reference finds contours of the blur-connected ink
+    (pseg.py:755-782); on a char grid the blur connects exactly the
+    adjacent lines of a row group, so the group's content bbox is the
+    contour bbox.  Boxes are (ymin, xmin, ymax, xmax) in (v, char) space.
+    Used both for text boxes and for table segment boxes (deviation from
+    aggr.py:125, which uses the column/group extent: content-tight is
+    strictly more precise and preserves the reading-order sort).
+    """
+    boxes: dict[tuple[int, int], tuple[int, int, int, int]] = {}
+    for col_idx, column in enumerate(columns):
+        # bbox region extends into the neighbouring spacings (up to the
+        # adjacent columns) so content-tight boxes keep the rare long-line
+        # overflow chars that the 95% column rule assigns to the margin
+        # neighbouring-column boundary = spacing midpoint, so one column's
+        # overflow is never attributed to the other
+        left = (
+            (columns[col_idx - 1][1] + column[0]) // 2 if col_idx > 0 else 0
+        )
+        right = (
+            (column[1] + columns[col_idx + 1][0] + 1) // 2
+            if col_idx + 1 < len(columns)
+            else grid.shape[1]
+        )
+        crop = grid[:, left:right]
+        for grp_idx, group in enumerate(column_row_groups.get(col_idx, [])):
+            l0 = group[0][0] // V_UNIT
+            l1 = group[-1][0] // V_UNIT
+            sub = crop[l0: l1 + 1]
+            content_cols = np.where((sub == 0).any(axis=0))[0]
+            if len(content_cols) == 0:
+                continue
+            xmin = left + int(content_cols[0])
+            xmax = left + int(content_cols[-1]) + 1
+            boxes[(col_idx, grp_idx)] = (group[0][0], xmin, group[-1][1], xmax)
+    return boxes
+
+
+# ---------------------------------------------------------------------------
+# full per-turn parse (analogue of pseg.parse, pseg.py:17-111)
+# ---------------------------------------------------------------------------
+
+def parse_grid(grid: np.ndarray) -> dict:
+    """Run the full stage chain on an occupancy grid."""
+    columns, spacings = columns_from_grid(grid)
+    column_row_groups: dict[int, list] = {}
+    column_row_vspacings: dict[int, np.ndarray] = {}
+    column_row_grp_row_spacings: dict[int, dict[int, np.ndarray]] = {}
+    column_row_grp_build_table: dict[int, dict] = {}
+    column_row_grp_cells: dict[int, dict] = {}
+
+    for col_idx, column in enumerate(columns):
+        groups, vspac = row_groups_from_column(grid, column)
+        column_row_groups[col_idx] = groups
+        column_row_vspacings[col_idx] = vspac
+        column_row_grp_row_spacings[col_idx] = {}
+        column_row_grp_build_table[col_idx] = {}
+        column_row_grp_cells[col_idx] = {}
+        for grp_idx, rows in enumerate(groups):
+            hs = row_hspacings_from_rows(grid, column, rows)
+            if hs.size == 0:
+                continue
+            column_row_grp_row_spacings[col_idx][grp_idx] = hs
+            lines = vertical_lines_from_hspacings(hs)
+            if not lines:
+                continue
+            rects = group_adjacent_lines(lines)
+            rects = remove_smaller_adjacent_rectangles(rects)
+            rects = remove_edge_rectangles(rects, hs)
+            while rects:
+                if not is_first_rectangle_column_valid(rects, hs):
+                    rects = rects[1:]
+                    continue
+                break
+            rects = remove_busy_column_rectangles(rects, hs)
+            if not rects:
+                continue
+            table_rows, table_cols = build_table(column, rows, rects)
+            column_row_grp_build_table[col_idx][grp_idx] = (table_rows, table_cols)
+            inters, ups, downs = find_intersections(column, rows, table_cols, table_rows)
+            cells = find_cells(inters, ups, downs)
+            column_row_grp_cells[col_idx][grp_idx] = (inters, ups, downs, cells)
+
+    bboxes = group_bboxes(grid, columns, column_row_groups)
+    # a text box per group; groups that produced a table are consumed by the
+    # used-token semi-join downstream and yield no text segment
+    text_boxes = [bboxes[k] for k in sorted(bboxes)]
+    return {
+        "group_bboxes": bboxes,
+        "columns": columns,
+        "spacings": spacings,
+        "column_row_groups": column_row_groups,
+        "column_row_vspacings": column_row_vspacings,
+        "column_row_grp_row_spacings": column_row_grp_row_spacings,
+        "column_row_grp_build_table": column_row_grp_build_table,
+        "column_row_grp_cells": column_row_grp_cells,
+        "text_boxes": text_boxes,
+        "height": grid.shape[0] * V_UNIT,
+        "width": grid.shape[1],
+    }

@@ -1,0 +1,235 @@
+"""Spark extraction pipeline (SURVEY.md section 3.1 re-expression).
+
+The reference's per-document driver (/root/reference/src/t-pdf:86-145) runs
+one process per PDF; here the whole corpus is one DataFrame pass:
+
+    read -> salt + repartition -> mapInPandas(extract_batch) -> sink
+
+Scale design (for a 1000-executor cluster over ~10^12 turns):
+
+* the extraction kernel is a pure function of one row, so parallelism is
+  unconstrained -- we repartition on ``(conv_id, salt)`` where salt splits
+  long conversations (heavy-tail skew, FIXTURES.md section 5) into
+  SALT_TURNS-sized slices.  This keeps conversation locality for the
+  partitioned sink while bounding the largest partition, the explicit
+  salting required by the north rule (AQE cannot rebalance inside
+  mapInPandas groups).
+* zero per-row Python at the DataFrame level: the kernel runs on Arrow
+  batches (spark.sql.execution.arrow.maxRecordsPerBatch bounds memory).
+* resumability: the sink is partitioned by ``bucket`` (hash of conv_id);
+  completed buckets are skipped on restart (replaces the reference's
+  Redis-TTL progress keys, /root/reference/src/task/project.py:36-40).
+* lineage: one metrics row per (stage, partition) written alongside the
+  output (replaces master_index counters,
+  /root/reference/src/task/project.py:43-46,94-103).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .extract import extract_turn, extracted_text
+from .schema import EXTRACTION_SCHEMA
+
+_EXTRACTION_WITH_BUCKET = T.StructType(
+    EXTRACTION_SCHEMA.fields + [T.StructField("bucket", T.IntegerType(), False)]
+)
+
+# turns per salt slice: one Arrow batch of a skewed conversation never
+# exceeds this many rows from a single conv
+SALT_TURNS = 256
+
+
+def build_session(
+    app: str = "crrf_det_spark",
+    master: str = "local[*]",
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: one input row -> one output row with nested
+    segments.  All heavy work is numpy inside the batch (SURVEY.md
+    section 2.9)."""
+    for pdf in batches:
+        out_rows = []
+        for conv_id, turn_idx, text in zip(
+            pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
+        ):
+            segs = extract_turn(text if isinstance(text, str) else "")
+            seg_structs = [
+                {
+                    "cindex": i,
+                    "type": s["type"],
+                    "content": s["content"],
+                    "rows": s["rows"],
+                    "box": s["box"],
+                }
+                for i, s in enumerate(segs)
+            ]
+            etext = extracted_text(segs)
+            out_rows.append(
+                {
+                    "conv_id": conv_id,
+                    "turn_idx": int(turn_idx),
+                    "segments": seg_structs,
+                    "extracted_text": etext,
+                    "n_segments": len(segs),
+                    "n_tables": sum(1 for s in segs if s["type"] == "table"),
+                    "n_chars_in": len(text) if isinstance(text, str) else 0,
+                    "n_chars_out": len(etext),
+                }
+            )
+        yield pd.DataFrame(
+            out_rows,
+            columns=[f.name for f in EXTRACTION_SCHEMA.fields],
+        )
+
+
+def salted(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Repartition on (conv_id, turn-slice salt): conversation locality with
+    bounded per-conv slice size (explicit skew handling)."""
+    salt = F.pmod(
+        F.hash(F.col("conv_id"), (F.col("turn_idx") / F.lit(SALT_TURNS)).cast("long")),
+        F.lit(1 << 14),
+    ).alias("_salt")
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("conv_id"), salt)
+    return df.repartition(F.col("conv_id"), salt)
+
+
+def extract_transcripts(
+    df: DataFrame, num_partitions: int | None = None, order: bool = False
+) -> DataFrame:
+    """transcripts DataFrame -> extraction DataFrame.
+
+    ``order=True`` adds the verification-stable (conv_id, turn_idx) global
+    sort; leave False for the 100TB path and rely on
+    sortWithinPartitions at write time instead.
+    """
+    out = salted(df.select("conv_id", "turn_idx", "text"), num_partitions).mapInPandas(
+        _extract_batches, schema=EXTRACTION_SCHEMA
+    )
+    if order:
+        out = out.orderBy("conv_id", "turn_idx")
+    else:
+        out = out.sortWithinPartitions("conv_id", "turn_idx")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checkpointed, resumable stage driver
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 64
+
+
+def run_resumable_extraction(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_path: str,
+    n_buckets: int = N_BUCKETS,
+) -> list[int]:
+    """Write extraction output partitioned by ``bucket`` = hash(conv_id) %
+    n_buckets; on restart, buckets already on disk are skipped.
+
+    Idempotent per bucket (dynamic partition overwrite); returns the list of
+    buckets processed in this invocation.  At cluster scale n_buckets is
+    sized so one bucket ~ one executor-hour of work.
+    """
+    import json
+    import os
+
+    manifest = os.path.join(out_path, "_crrf_done.json")
+    done: set[int] = set()
+    if os.path.isdir(out_path):
+        # a bucket is done if the manifest says so (covers empty buckets)
+        # or its partition directory holds parquet files
+        if os.path.isfile(manifest):
+            done.update(json.load(open(manifest)))
+        for name in os.listdir(out_path):
+            if name.startswith("bucket="):
+                bucket_dir = os.path.join(out_path, name)
+                if any(f.endswith(".parquet") for f in os.listdir(bucket_dir)):
+                    done.add(int(name.split("=", 1)[1]))
+
+    todo = [b for b in range(n_buckets) if b not in done]
+    if not todo:
+        return []
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    src = transcripts.withColumn(
+        "bucket", F.pmod(F.hash("conv_id"), F.lit(n_buckets))
+    )
+    if done:
+        src = src.filter(~F.col("bucket").isin(sorted(done)))
+    extracted = (
+        salted(src.select("conv_id", "turn_idx", "text", "bucket"))
+        .mapInPandas(
+            _extract_batches_with_bucket,
+            schema=_EXTRACTION_WITH_BUCKET,
+        )
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    extracted.write.mode("overwrite").partitionBy("bucket").parquet(out_path)
+    with open(manifest, "w") as f:
+        json.dump(sorted(done | set(todo)), f)
+    return todo
+
+
+def _extract_batches_with_bucket(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        buckets = pdf["bucket"].values
+        for out in _extract_batches(iter([pdf])):
+            out["bucket"] = buckets[: len(out)]
+            yield out
+
+
+def lineage(extraction: DataFrame, stage: str = "extract") -> DataFrame:
+    """Per-partition lineage/metrics table (north rule): row counts, segment
+    counts, byte counts grouped by physical partition."""
+    with_pid = extraction.withColumn("partition_id", F.spark_partition_id())
+    return with_pid.groupBy("partition_id").agg(
+        F.lit(stage).alias("stage"),
+        F.count("*").alias("n_rows"),
+        F.sum("n_segments").alias("n_segments"),
+        F.sum("n_chars_in").alias("n_bytes_in"),
+        F.sum("n_chars_out").alias("n_bytes_out"),
+    ).select("stage", "partition_id", "n_rows", "n_segments", "n_bytes_in", "n_bytes_out")
+
+
+def segments_view(extraction: DataFrame) -> DataFrame:
+    """Explode nested segments to one row per segment (the search layer's
+    input; analogue of /root/reference/src/search/index.js:37-48)."""
+    return extraction.select(
+        "conv_id",
+        "turn_idx",
+        F.explode("segments").alias("seg"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("seg.cindex").alias("cindex"),
+        F.col("seg.type").alias("type"),
+        F.col("seg.content").alias("content"),
+    )

@@ -1,0 +1,97 @@
+"""Spark pipeline tests: mapInPandas extraction, salting, lineage, and the
+checkpoint/resume driver."""
+
+import os
+
+import pytest
+
+from crrf_det_spark import synth
+from crrf_det_spark.pipeline import (
+    extract_transcripts,
+    lineage,
+    run_resumable_extraction,
+    segments_view,
+)
+from crrf_det_spark.schema import TRANSCRIPT_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def transcripts_df(spark):
+    rows, _ = synth.generate(n_convs=12, seed=42, skew_convs=1, skew_factor=10)
+    return spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA).cache()
+
+
+def test_extraction_matches_golden(spark, transcripts_df):
+    rows, goldens = synth.generate(n_convs=12, seed=42, skew_convs=1, skew_factor=10)
+    out = extract_transcripts(transcripts_df, order=True).collect()
+    assert len(out) == len(rows)
+    # stable ordering
+    keys = [(r.conv_id, r.turn_idx) for r in out]
+    assert keys == sorted(keys)
+    # spot-check segment equality against golden
+    gold = {}
+    for g in goldens:
+        gold.setdefault((g["conv_id"], g["turn_idx"]), []).append(g)
+    for r in out[:200]:
+        want = sorted(gold[(r.conv_id, r.turn_idx)], key=lambda g: g["cindex"])
+        got = [(s.type, s.content) for s in r.segments]
+        assert got == [(g["type"], g["content"]) for g in want]
+        assert r.extracted_text == "\n".join(g["content"] for g in want)
+
+
+def test_lineage_totals(spark, transcripts_df):
+    ext = extract_transcripts(transcripts_df)
+    lin = lineage(ext).collect()
+    assert sum(r.n_rows for r in lin) == transcripts_df.count()
+    assert all(r.stage == "extract" for r in lin)
+
+
+def test_segments_view(spark, transcripts_df):
+    ext = extract_transcripts(transcripts_df)
+    seg = segments_view(ext)
+    assert seg.columns == ["conv_id", "turn_idx", "cindex", "type", "content"]
+    assert seg.count() > 0
+
+
+def test_resume_skips_done_buckets(spark, transcripts_df, tmp_path):
+    out = str(tmp_path / "extraction")
+    first = run_resumable_extraction(spark, transcripts_df, out, n_buckets=8)
+    assert sorted(first) == list(range(8))
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == transcripts_df.count()
+    # second run: everything already done
+    second = run_resumable_extraction(spark, transcripts_df, out, n_buckets=8)
+    assert second == []
+    # simulate a crash that lost one bucket (dir gone, manifest stale)
+    import json
+    import shutil
+
+    victim = [d for d in os.listdir(out) if d.startswith("bucket=")][0]
+    victim_id = int(victim.split("=")[1])
+    shutil.rmtree(os.path.join(out, victim))
+    manifest = os.path.join(out, "_crrf_done.json")
+    done = [b for b in json.load(open(manifest)) if b != victim_id]
+    json.dump(done, open(manifest, "w"))
+    third = run_resumable_extraction(spark, transcripts_df, out, n_buckets=8)
+    assert third == [victim_id]
+    assert spark.read.parquet(out).count() == n_rows
+
+
+def test_salting_bounds_partition_size(spark):
+    # one giant conversation must not land in a single partition slice
+    rows, _ = synth.generate(n_convs=1, seed=5, skew_convs=1, skew_factor=200)
+    assert len(rows) > 1000
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    from crrf_det_spark.pipeline import salted
+
+    import pyspark.sql.functions as F
+
+    sizes = (
+        salted(df, num_partitions=16)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(sizes) > 1, "salting failed: one conversation in one partition"
+    assert max(r["count"] for r in sizes) < len(rows)
