@@ -1,0 +1,84 @@
+"""Batch project runs: persisted filters x corpus.
+
+Re-expresses the reference's project task
+(/root/reference/src/task/project.py:19-104): every user filter (a persisted
+query string + labels, /root/reference/src/service/filters.py:29-53) is run
+over the whole corpus; hits carry the union of matching filters' labels;
+a master index records per-file (here per-conversation) segment counts.
+
+Spark-first: the reference's nested file x filter loop becomes ONE pass --
+filters are a tiny broadcast side; per-filter hits are unioned and grouped.
+At 100TB the corpus is scanned once per run (not once per filter) because
+each filter's predicate is evaluated column-wise over the same scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search.index import tfidf_scores
+from .search.query import search
+
+
+def run_filters(
+    postings: DataFrame,
+    filters: list[dict],
+    force_numeric: bool = True,
+) -> DataFrame:
+    """filters: [{filter_name, query, labels}] -> hit segments with labels.
+
+    Returns (conv_id, turn_idx, cindex: array<int>, score, filter_name,
+    labels).  Label accumulation for multi-filter hits mirrors
+    project.py:82-89 (a segment hit by several filters gets all label
+    sets).  The TFIDF score table is computed once and shared by every
+    filter (the reference rebuilds the index per file; ours is corpus-wide
+    and reused).
+    """
+    scores = tfidf_scores(postings)
+    scores = scores.cache()
+    parts = []
+    for f in filters:
+        hits = search(
+            postings, f["query"], force_numeric=force_numeric, scores=scores
+        )
+        parts.append(
+            hits.withColumn("filter_name", F.lit(f["filter_name"])).withColumn(
+                "labels", F.array(*[F.lit(x) for x in f.get("labels", [])])
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def segment_labels(filter_hits: DataFrame) -> DataFrame:
+    """Per-segment accumulated distinct labels (project.py:82-89 analogue).
+
+    Explodes each filter's per-turn cindex hit list and unions labels per
+    (conv_id, turn_idx, cindex).
+    """
+    return (
+        filter_hits.select(
+            "conv_id",
+            "turn_idx",
+            F.explode("cindex").alias("cindex"),
+            F.explode_outer("labels").alias("label"),
+        )
+        .groupBy("conv_id", "turn_idx", "cindex")
+        .agg(F.array_distinct(F.sort_array(F.collect_list("label"))).alias("labels"))
+    )
+
+
+def master_index(filter_hits: DataFrame) -> DataFrame:
+    """Per-conversation hit-segment counts + total, the analogue of
+    .master_index.json {files: {f: count}, segments_collected}
+    (project.py:43-46,94-103)."""
+    per_conv = (
+        filter_hits.select("conv_id", "turn_idx", F.explode("cindex").alias("cindex"))
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_segments"))
+    )
+    return per_conv.orderBy("conv_id")

@@ -1,0 +1,116 @@
+"""Boolean query parsing + execution over the inverted index.
+
+Re-expresses the reference's query path:
+
+* shlex term split, '-term' -> exclusion
+  (/root/reference/src/task/search.py:18-19)
+* 'table:'/'text:' field prefixes, AND of includes, OR of excludes,
+  NOT={INCLUDE, EXCLUDE} shape (/root/reference/src/search/index.js:76-117)
+* forced NUMERICVALUE include term (index.js:102) -- the reference only
+  surfaces segments containing at least one normalized number
+* TFIDF score sum + per-turn grouping with collected cindex list, sorted
+  by score desc (index.js:118-141)
+"""
+
+from __future__ import annotations
+
+import shlex
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index import tfidf_scores
+
+
+@dataclass
+class Query:
+    includes: list[tuple[str | None, str]] = field(default_factory=list)
+    excludes: list[tuple[str | None, str]] = field(default_factory=list)
+
+
+def parse_query(terms: str) -> Query:
+    """'alpha "net revenue" -beta table:gamma' -> Query.
+
+    Quoted phrases stay one term (they match 2/3-gram index entries);
+    leading '-' marks exclusion; 'table:'/'text:' prefix pins the field.
+    """
+    q = Query()
+    for raw in shlex.split(terms):
+        if not raw.strip():
+            continue
+        fieldname = None
+        t = raw
+        neg = t.startswith("-")
+        if neg:
+            t = t[1:]
+        if t.startswith("table:"):
+            fieldname, t = "table", t[6:]
+        elif t.startswith("text:"):
+            fieldname, t = "text", t[5:]
+        if not t:
+            continue
+        (q.excludes if neg else q.includes).append((fieldname, t.lower()))
+    return q
+
+
+def search(
+    postings: DataFrame,
+    terms: str,
+    force_numeric: bool = True,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """Run a boolean query -> per-turn results (conv_id, turn_idx, cindex
+    list, score) ordered by score desc.
+
+    Execution shape (scale-first): include terms are a tiny IN-list filter
+    pushed into the postings scan; the all-terms-present check is one hash
+    agg counting distinct matched terms; excludes are a left_anti join.
+    No driver-side loops.
+    """
+    q = parse_query(terms)
+    if not q.includes:
+        return postings.sparkSession.createDataFrame(
+            [], "conv_id string, turn_idx int, cindex array<int>, score double"
+        )
+    if force_numeric:
+        q.includes.append((None, "numericvalue"))
+
+    sc = scores if scores is not None else tfidf_scores(postings)
+    sc = sc.withColumn("term_l", F.lower(F.col("term")))
+
+    def match(includes):
+        conds = None
+        for fieldname, term in includes:
+            c = F.col("term_l") == term
+            if fieldname:
+                c = c & (F.col("field") == fieldname)
+            conds = c if conds is None else (conds | c)
+        return conds
+
+    inc = sc.filter(match(q.includes))
+    n_terms = len({t for _f, t in q.includes})
+    doc_hits = (
+        inc.groupBy("conv_id", "turn_idx", "cindex")
+        .agg(
+            F.count_distinct("term_l").alias("n_matched"),
+            F.sum("tfidf").alias("score"),
+        )
+        .filter(F.col("n_matched") == n_terms)
+    )
+    if q.excludes:
+        exc = sc.filter(match(q.excludes)).select(
+            "conv_id", "turn_idx", "cindex"
+        ).distinct()
+        doc_hits = doc_hits.join(
+            exc, ["conv_id", "turn_idx", "cindex"], "left_anti"
+        )
+    # group hits per turn: cindex list + summed score (index.js:124-141)
+    return (
+        doc_hits.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sort_array(F.collect_list("cindex")).alias("cindex"),
+            F.sum("score").alias("score"),
+        )
+        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+    )
