@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+One ``queries()`` entry per implemented operator family from SURVEY.md §2
+(names carry the operator ids), each paired with a DuckDB ``oracle_sql()``
+unless the op is not SQL-expressible (extraction kernel, minhash/simhash
+signatures) -- those get rows-only checks.
+
+Conventions shared by both sides so value-hashes match:
+* every computed column is aliased identically in Spark and SQL
+* doubles are rounded (4-6 dp) on both sides
+* every result has a deterministic total order candidate (ties broken by id)
 """
 
 from __future__ import annotations
@@ -12,27 +16,736 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: extraction pipeline over the documents corpus
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Extraction (the engine's core) over sf0.001 documents treated as
+    single-turn transcripts, aggregated per source."""
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    docs = _t(spark, SF0001, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        "text",
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"),
+        "source",
+    )
+    ext = extract_transcripts(docs.select("conv_id", "turn_idx", "text"))
+    return (
+        ext.join(docs.select("conv_id", "source"), "conv_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_segments").alias("n_segments"),
+            F.sum("n_chars_out").alias("n_chars_out"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
+
+def _q_a1_pricing_summary(spark, sf):
+    # A1/A2-family projection-profile aggs re-expressed relationally:
+    # grouped multi-aggregate scan (TPC-H Q1 shape)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_O_A1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)       AS sum_qty,
+       round(sum(l_extendedprice), 2)  AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6)       AS avg_qty,
+       count(*)                        AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_a9_revenue_by_nation(spark, sf):
+    # multi-join hash-agg (TPC-H Q5 shape): customer-orders-lineitem-nation
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_O_A9 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _q_p8_number_normalize(spark, sf):
+    # P8: NUMERICVALUE normalization (index.js:9-21); numbers synthesized
+    # into the text so the op actually fires on this corpus
+    from crrf_det_spark.search.normalize import normalize_numbers_col
+
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" $"),
+        F.col("n_chars").cast("string"),
+        F.lit(" 2021 3 7.5"),
+    )
+    return d.select(
+        "doc_id", normalize_numbers_col(synth).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+_O_P8 = r"""
+SELECT doc_id,
+       array_to_string(list_transform(
+         string_split(substr(text, 1, 40) || ' $' || CAST(n_chars AS VARCHAR) || ' 2021 3 7.5', ' '),
+         t -> CASE
+           WHEN regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) = ''
+             THEN t
+           WHEN try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE)
+                BETWEEN 0 AND 4.999999
+            AND try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE)
+              = floor(try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE))
+             THEN t
+           WHEN try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE)
+                BETWEEN 1900 AND 2100
+            AND try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE)
+              = floor(try_cast(regexp_extract(regexp_replace(t, '[,$€£]', '', 'g'),
+                '^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?', 0) AS DOUBLE))
+             THEN t
+           ELSE 'NUMERICVALUE'
+         END), ' ') AS norm_text
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _q_p9_regex_search(spark, sf):
+    # P9: regex predicate search over a corpus (s-pdf:22-60)
+    d = _t(spark, sf, "documents")
+    return (
+        d.filter(F.col("text").rlike(r"hash.*join|join.*hash"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_O_P9 = """
+SELECT doc_id, source FROM documents
+WHERE regexp_matches(text, 'hash.*join|join.*hash')
+ORDER BY doc_id
+"""
+
+
+def _q_w4_sessionize(spark, sf):
+    # W4: stateful bottom-up grouping re-expressed as sessionization:
+    # gap > 30 min -> new session (lag + cumulative sum window)
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; go through timestamp for epoch
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_O_W4 = """
+WITH flagged AS (
+  SELECT user_id, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         round(sum(value), 2) AS session_value
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       round(sum(session_value), 2) AS total_value
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_w7_reading_order(spark, sf):
+    # W7/O4: stable reading-order indexing via row_number
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", "event_type")
+        .orderBy("user_id", "rn")
+    )
+
+
+_O_W7 = """
+SELECT user_id, rn, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3 ORDER BY user_id, rn
+"""
+
+
+def _q_w1_runlength(spark, sf):
+    # W1/A6: run-length grouping -- longest consecutive same-event_type run
+    # per user (the reference's busy-column run-length, vectorized via
+    # lag/cumsum instead of a pixel sweep)
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    runs = e.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        runs.groupBy("user_id", "run_id", "event_type")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("user_id")
+        .agg(F.max("run_len").alias("max_run"), F.count("*").alias("n_runs"))
+        .orderBy("user_id")
+    )
+
+
+_O_W1 = """
+WITH chg AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM chg
+), rl AS (
+  SELECT user_id, run_id, event_type, count(*) AS run_len
+  FROM runs GROUP BY user_id, run_id, event_type
+)
+SELECT user_id, max(run_len) AS max_run, count(*) AS n_runs
+FROM rl GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_j4_broadcast_lookup(spark, sf):
+    # J4: filter-name lookup join -- tiny dim broadcast against facts
+    o = _t(spark, sf, "orders")
+    dim = spark.createDataFrame(
+        [("O", "open"), ("F", "finished"), ("P", "pending")],
+        "o_orderstatus string, status_name string",
+    )
+    return (
+        o.join(F.broadcast(dim), "o_orderstatus")
+        .groupBy("status_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("status_name")
+    )
+
+
+_O_J4 = """
+SELECT status_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN (VALUES ('O','open'), ('F','finished'), ('P','pending'))
+     AS dim(o_orderstatus, status_name) USING (o_orderstatus)
+GROUP BY status_name ORDER BY status_name
+"""
+
+
+def _q_j1_interval_join(spark, sf):
+    # J1: interval/containment join (word-in-cell analogue): parts binned
+    # into size ranges via a theta join
+    p = _t(spark, sf, "part")
+    bins = spark.createDataFrame(
+        [("xs", 0, 9), ("s", 10, 19), ("m", 20, 29), ("l", 30, 39), ("xl", 40, 1000)],
+        "bin string, lo int, hi int",
+    )
+    return (
+        p.join(
+            F.broadcast(bins),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+_O_J1 = """
+SELECT bin, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part
+JOIN (VALUES ('xs',0,9), ('s',10,19), ('m',20,29), ('l',30,39), ('xl',40,1000))
+     AS bins(bin, lo, hi) ON p_size >= lo AND p_size <= hi
+GROUP BY bin ORDER BY bin
+"""
+
+
+def _q_j3_first_writer_wins(spark, sf):
+    # J3: used_words first-writer-wins dedup as row_number() = 1
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+_O_J3 = """
+SELECT o_custkey, o_orderkey, o_orderdate FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS rn FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def _q_u1_distinct(spark, sf):
+    # U1/U2: set dedup + ordered distinct values
+    li = _t(spark, sf, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct().orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+_O_U1 = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _q_o5_topk(spark, sf):
+    # O5/O6: top-k by score desc with deterministic tiebreak
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(10)
+    )
+
+
+_O_O5 = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders ORDER BY total_price DESC, o_orderkey LIMIT 10
+"""
+
+
+def _q_a8_score_grouping(spark, sf):
+    # A8: search-hit grouping -- per page/user: summed score + collected ids
+    e = _t(spark, sf, "events")
+    return (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("score"),
+            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+        )
+        .orderBy(F.desc("score"), "user_id")
+    )
+
+
+_O_A8 = """
+SELECT user_id, round(sum(value), 2) AS score,
+       list_sort(list(event_id)) AS event_ids
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id ORDER BY score DESC, user_id
+"""
+
+
+def _q_a9_tfidf(spark, sf):
+    # A9: TFIDF scoring over the documents corpus (unigrams; formula
+    # documented in crrf_det_spark/search/index.py), restricted to a fixed
+    # probe vocabulary for a bounded result
+    d = _t(spark, sf, "documents")
+    vocab = ["hash", "join", "scan", "window", "spark"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(vocab))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = d.count()
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+        .orderBy("doc_id", "term")
+    )
+
+
+_O_A9T = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+        FROM documents)
+  WHERE term IN ('hash','join','scan','window','spark')
+  GROUP BY doc_id, term
+), dfx AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+       round(tf.tf * ln(n.n_docs / dfx.df), 6) AS tfidf
+FROM tf, dfx, n WHERE tf.term = dfx.term
+ORDER BY tf.doc_id, tf.term
+"""
+
+
+def _q_f6_ngrams(spark, sf):
+    # F6: ngram generation -- bigram counts over a probe set
+    from crrf_det_spark.search.normalize import ngrams_col, tokens_col
+
+    d = _t(spark, sf, "documents")
+    probe = ["hash join", "table scan", "sort merge"]
+    return (
+        d.select(F.explode(ngrams_col(tokens_col(F.col("text")), (2,))).alias("gram"))
+        .filter(F.col("gram").isin(probe))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy("gram")
+    )
+
+
+_O_F6 = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT t[i] || ' ' || t[i+1] AS gram
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+)
+SELECT gram, count(*) AS n FROM grams
+WHERE gram IN ('hash join','table scan','sort merge')
+GROUP BY gram ORDER BY gram
+"""
+
+
+def _q_dedup_exact(spark, sf):
+    # exact dedup via digest group (returns dup groups; empty is valid)
+    from crrf_det_spark.ops import exact_duplicates
+
+    d = _t(spark, sf, "documents")
+    return exact_duplicates(d).orderBy("digest")
+
+
+_O_DEDUP_EXACT = """
+SELECT sha256(text) AS digest, count(*) AS n_docs,
+       list_sort(list(doc_id)) AS doc_ids
+FROM documents GROUP BY sha256(text) HAVING count(*) >= 2
+ORDER BY digest
+"""
+
+
+def _q_dedup_jaccard(spark, sf):
+    # unigram-set Jaccard pairs (word-soup corpus: unigrams give signal)
+    from crrf_det_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=1, threshold=0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_O_DEDUP_JACCARD = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '')) AS s
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sets
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.ns AS na, r.ns AS nb, count(*) AS n_common
+  FROM posting l JOIN posting r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_common / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common / (na + nb - n_common) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+def _q_ann_topk(spark, sf):
+    # brute-force cosine top-k against a fixed deterministic query vector
+    from crrf_det_spark.ops import brute_force_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+    out = brute_force_topk(emb, query, k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+_O_ANN = """
+WITH q AS (
+  SELECT list(CASE WHEN (i-1) % 7 = 0 THEN 1.0 ELSE 0.1 END ORDER BY i) AS v
+  FROM range(1, 65) r(i)
+)
+SELECT vec_id, round(list_cosine_similarity(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), q.v), 4) AS cosine
+FROM embeddings, q
+ORDER BY list_cosine_similarity(
+         list_transform(embedding, x -> CAST(x AS DOUBLE)), q.v) DESC, vec_id
+LIMIT 10
+"""
+
+
+def _q_text_tokens(spark, sf):
+    # token counting (ws + punctuation-aware proxy)
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ws"),
+        F.length("text").alias("n_chars_txt"),
+    ).orderBy("doc_id")
+
+
+_O_TEXT_TOKENS = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens_ws,
+       length(text) AS n_chars_txt
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_text_fingerprint(spark, sf):
+    # document fingerprint: md5 of whitespace/case-normalized text
+    d = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fp")).orderBy("doc_id")
+
+
+_O_TEXT_FP = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_text_quality(spark, sf):
+    # quality scoring ratios (length/alpha/punct), exact arithmetic both sides
+    d = _t(spark, sf, "documents")
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace("text", r"[^A-Za-z]", ""))
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    return d.select(
+        "doc_id",
+        F.round(alpha / n_chars, 6).alias("alpha_ratio"),
+        F.size(toks).alias("n_tokens_q"),
+    ).orderBy("doc_id")
+
+
+_O_TEXT_QUALITY = """
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+             / length(text), 6) AS alpha_ratio,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens_q
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- rows-only checks (not SQL-expressible; driver records weaker check) ---
+
+def _q_extraction_segments(spark, sf):
+    # the extraction kernel itself (mapInPandas; no SQL equivalent)
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+    return extract_transcripts(d, order=True).select(
+        "conv_id", "turn_idx", "n_segments", "n_tables", "n_chars_out"
+    )
+
+
+def _q_dedup_minhash(spark, sf):
+    # minhash-LSH near-dup pairs (signature permutations not SQL-expressible)
+    from crrf_det_spark.ops import minhash_lsh_pairs, minhash_signatures
+
+    d = _t(spark, sf, "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    return minhash_lsh_pairs(sigs, num_bands=8, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q_search_tfidf_query(spark, sf):
+    # full boolean search pipeline over documents-as-segments
+    from crrf_det_spark.search import build_index, search
+
+    d = _t(spark, sf, "documents")
+    segs = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit(0).alias("cindex"),
+        F.lit("text").alias("type"),
+        F.col("text").alias("content"),
+    )
+    idx = build_index(segs, lengths=(1, 2))
+    return search(idx, "hash join -scan", force_numeric=False).select(
+        "conv_id", "turn_idx", F.round("score", 6).alias("score")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "a1_pricing_summary": _q_a1_pricing_summary,
+        "a9_revenue_by_nation": _q_a9_revenue_by_nation,
+        "a8_score_grouping": _q_a8_score_grouping,
+        "a9_tfidf": _q_a9_tfidf,
+        "p8_number_normalize": _q_p8_number_normalize,
+        "p9_regex_search": _q_p9_regex_search,
+        "w1_runlength": _q_w1_runlength,
+        "w4_sessionize": _q_w4_sessionize,
+        "w7_reading_order": _q_w7_reading_order,
+        "j1_interval_join": _q_j1_interval_join,
+        "j3_first_writer_wins": _q_j3_first_writer_wins,
+        "j4_broadcast_lookup": _q_j4_broadcast_lookup,
+        "u1_distinct": _q_u1_distinct,
+        "o5_topk": _q_o5_topk,
+        "f6_ngrams": _q_f6_ngrams,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_jaccard": _q_dedup_jaccard,
+        "ann_topk": _q_ann_topk,
+        "text_tokens": _q_text_tokens,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_quality": _q_text_quality,
+        # rows-only (non-SQL-expressible kernels)
+        "extraction_segments": _q_extraction_segments,
+        "dedup_minhash": _q_dedup_minhash,
+        "search_tfidf_query": _q_search_tfidf_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a1_pricing_summary": _O_A1,
+        "a9_revenue_by_nation": _O_A9,
+        "a8_score_grouping": _O_A8,
+        "a9_tfidf": _O_A9T,
+        "p8_number_normalize": _O_P8,
+        "p9_regex_search": _O_P9,
+        "w1_runlength": _O_W1,
+        "w4_sessionize": _O_W4,
+        "w7_reading_order": _O_W7,
+        "j1_interval_join": _O_J1,
+        "j3_first_writer_wins": _O_J3,
+        "j4_broadcast_lookup": _O_J4,
+        "u1_distinct": _O_U1,
+        "o5_topk": _O_O5,
+        "f6_ngrams": _O_F6,
+        "dedup_exact": _O_DEDUP_EXACT,
+        "dedup_jaccard": _O_DEDUP_JACCARD,
+        "ann_topk": _O_ANN,
+        "text_tokens": _O_TEXT_TOKENS,
+        "text_fingerprint": _O_TEXT_FP,
+        "text_quality": _O_TEXT_QUALITY,
+    }

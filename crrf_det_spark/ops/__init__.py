@@ -1,0 +1,22 @@
+"""Large-scale training-data pipeline operators: deduplication, similarity
+search, text analysis, multimodal column plumbing.
+
+These extend the reference's capabilities with the operations a 100TB
+training-data pipeline needs; each is Spark-first (built-in functions or
+Arrow-batched pandas UDFs, never per-row Python)."""
+
+from .dedup import (  # noqa: F401
+    exact_duplicates,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_signatures,
+    ngram_jaccard_pairs,
+    embedding_near_duplicates,
+)
+from .similarity import brute_force_topk, lsh_bucket_topk  # noqa: F401
+from .textstats import (  # noqa: F401
+    language_id,
+    quality_score,
+    token_counts,
+    fingerprint,
+)

@@ -1,0 +1,305 @@
+"""Deduplication operators over a documents table (doc_id, text).
+
+Scale notes (the whole point of these shapes):
+
+* exact:     one hash agg; map-side partial, no raw-text shuffle (only the
+             64-char digest moves).
+* minhash:   signatures via one numpy pass per Arrow batch (k permutations
+             vectorized as (a*h+b) mod p over the shingle-hash vector);
+             LSH banding turns all-pairs O(n^2) into a per-bucket join.
+* simhash:   64-bit signature per doc from token-hash bit votes; near-dup =
+             small hamming distance within LSH bands of the signature.
+* jaccard:   candidate pairs from shared shingles (inverted index join),
+             verified exactly -- never a cross join.
+* embedding: random-hyperplane LSH buckets, exact cosine within bucket.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (digest, n_docs, doc_ids).
+    Returns only groups with n_docs >= 2, doc_ids sorted."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col), 256).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Char k-shingles -> uint64 hash vector (vectorized rolling hash)."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        return np.empty(0, dtype=np.uint64)
+    # polynomial rolling hash over a sliding window, fully vectorized
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    return (windows * powers).sum(axis=1)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, signature: array<bigint>) via mapInPandas.
+
+    One numpy pass per batch: shingle-hash vector h, then per permutation i
+    min((a_i*h + b_i) mod p).  Empty/short docs get an all-p signature
+    (never matches anything).
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for text in pdf[text_col].values:
+                h = _shingle_hashes(text, shingle_k) % np.uint64(_MERSENNE)
+                if len(h) == 0:
+                    sigs.append([_MERSENNE] * num_hashes)
+                    continue
+                # (num_hashes, n_shingles) without materializing huge temps:
+                # chunk shingles if very large
+                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, schema="doc_id long, signature array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH banding -> candidate pairs -> signature-jaccard verify.
+
+    Returns (doc_a, doc_b, sig_jaccard) with doc_a < doc_b and
+    sig_jaccard >= threshold.  Shuffle cost: one explode on bands plus a
+    per-bucket self-join (buckets are tiny under any realistic dup rate;
+    a salted variant would cap pathological buckets).
+    """
+    n = signatures.select(F.size("signature")).first()[0]
+    rows_per_band = n // num_bands
+    banded = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda i: F.xxhash64(
+                    F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                    i,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sigs = signatures.select(
+        F.col("doc_id"), F.col("signature").alias("sig")
+    )
+    verified = cand.join(
+        sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"),
+        "doc_a",
+    ).join(
+        sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"),
+        "doc_b",
+    )
+    # fraction of equal signature positions estimates jaccard
+    eq = F.filter(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1,
+    )
+    return (
+        verified.withColumn("sig_jaccard", F.size(eq) / F.size("sig_a"))
+        .select("doc_a", "doc_b", "sig_jaccard")
+        .filter(F.col("sig_jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", seed: int = 7
+) -> DataFrame:
+    """64-bit simhash per doc (token-hash bit votes), via mapInPandas."""
+
+    import hashlib
+
+    def _stable64(token: str) -> int:
+        # process-salt-free 64-bit hash (builtin hash() varies per executor)
+        d = hashlib.blake2b(token.encode("utf-8"), digest_size=8,
+                            key=seed.to_bytes(8, "little")).digest()
+        return int.from_bytes(d, "little")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for text in pdf[text_col].values:
+                toks = text.split() if isinstance(text, str) else []
+                if not toks:
+                    out.append(0)
+                    continue
+                hashes = np.array([_stable64(t) for t in toks], dtype=np.uint64)
+                bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                sig = np.uint64(0)
+                for i in np.where(votes > 0)[0]:
+                    sig |= np.uint64(1) << np.uint64(i)
+                out.append(int(np.int64(sig)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, schema="doc_id long, simhash long"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-ngram Jaccard over candidate pairs that share >=1 shingle.
+
+    All-SQL shape: shingle explode -> inverted-index self-join ->
+    intersection counts -> |A u B| = |A| + |B| - |A n B|.
+    """
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(
+            ngrams_of(F.col(text_col), n)
+        ).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    posting = shingled.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    inter = (
+        posting.alias("l")
+        .join(
+            posting.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_shingles").alias("na"),
+            F.col("r.n_shingles").alias("nb"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngrams_of(text, n: int):
+    """Word n-grams of a text column as an array column (shared helper)."""
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    if n == 1:
+        return toks
+    # guard: sequence(1, 0) would be DESCENDING [1, 0] and break slice
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 3,
+) -> DataFrame:
+    """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
+    exact within-bucket cosine.
+
+    The bucket key is the sign pattern of `num_planes` random projections;
+    exact cosine runs only within buckets (vectorized numpy per bucket via
+    applyInPandas).
+    """
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim)).astype("float32")
+    planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = planes_b.value
+        for pdf in it:
+            V = np.vstack(pdf[vec_col].values).astype("float32")
+            signs = (V @ P.T) > 0
+            keys = (signs * (1 << np.arange(P.shape[0]))).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "bucket": keys.astype("int64"),
+                }
+            )
+
+    bucketed = embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+
+    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.vstack(pdf[vec_col].values).astype("float32")
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        sim = Vn @ Vn.T
+        ids = pdf[id_col].values
+        ia, ib = np.where(np.triu(sim >= threshold, k=1))
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(ids[ia], ids[ib]),
+                "doc_b": np.maximum(ids[ia], ids[ib]),
+                "cosine": sim[ia, ib].astype("float64"),
+            }
+        )
+
+    return (
+        bucketed.groupBy("bucket")
+        .applyInPandas(pairs, schema="doc_a long, doc_b long, cosine double")
+        .distinct()
+    )

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; the
+decode / feature-extract / resize / frame-sample kernels run as Arrow-batched
+mapInPandas stages.  The decode libraries are not available in this
+container, so the decoders are STUBS: ``decode_image`` raises
+NotImplementedError unless ``fake=True``, in which case a deterministic fake
+decoder (seeded from the payload hash) exercises the full Spark plumbing --
+schema, partitioning, UDF signature, batch shapes -- end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),      # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = "media_id long, kind string, feature array<float>, out_width int, out_height int"
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake image decode: pixels seeded from payload digest."""
+    seed = int.from_bytes(hashlib.blake2b(payload or b"", digest_size=4).digest(), "little")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(height or 8, width or 8), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires an image library not present in "
+            "this container; pass fake=True for the deterministic stub"
+        )
+    return _fake_decode(payload, meta["width"] if meta else 8, meta["height"] if meta else 8)
+
+
+def extract_features(
+    media: DataFrame,
+    resize_to: tuple[int, int] = (8, 8),
+    fake: bool = True,
+) -> DataFrame:
+    """media table -> (media_id, kind, feature: array<float>, out dims).
+
+    The kernel decodes (stub), resizes by block-mean (real numpy), and emits
+    a flattened normalized feature vector.  Batch shape and schema are real;
+    only the decode is fake.
+    """
+    tw, th = resize_to
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for payload, meta in zip(pdf["payload"].values, pdf["meta"].values):
+                m = meta if meta is not None else {"width": 8, "height": 8}
+                img = decode_image(payload, m, fake=fake)
+                # block-mean resize to (th, tw) -- real vectorized kernel
+                h, w = img.shape
+                ys = (np.arange(th + 1) * h // th).astype(int)
+                xs = (np.arange(tw + 1) * w // tw).astype(int)
+                out = np.zeros((th, tw), dtype="float32")
+                for i in range(th):
+                    for j in range(tw):
+                        block = img[ys[i]: max(ys[i + 1], ys[i] + 1),
+                                    xs[j]: max(xs[j + 1], xs[j] + 1)]
+                        out[i, j] = block.mean()
+                feats.append((out.ravel() / 255.0).astype("float32").tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                    "out_width": tw,
+                    "out_height": th,
+                }
+            )
+
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
+    """video rows -> one row per sampled frame timestamp (plumbing only;
+    frame decode is the same stub)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_ms": []}
+            for mid, kind, meta in zip(
+                pdf["media_id"].values, pdf["kind"].values, pdf["meta"].values
+            ):
+                if kind != "video" or meta is None or not meta["duration_ms"]:
+                    continue
+                for ts in range(0, int(meta["duration_ms"]), every_ms):
+                    out["media_id"].append(mid)
+                    out["frame_ms"].append(ts)
+            yield pd.DataFrame(out, columns=["media_id", "frame_ms"])
+
+    return media.select("media_id", "kind", "meta").mapInPandas(
+        batches, schema="media_id long, frame_ms long"
+    )

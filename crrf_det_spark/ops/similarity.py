@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk: exact cosine top-k -- the correctness baseline.  The
+  dot product is a pure Catalyst expression (zip_with + aggregate), so the
+  scan stays JVM-side and whole-stage-codegen'd; top-k is an orderBy+limit
+  which Spark executes as a per-partition TakeOrdered (no full sort
+  shuffle).
+* lsh_bucket_topk: the scale path -- random-hyperplane buckets with
+  multi-probe (query probes its bucket and single-bit-flip neighbours), so
+  only a fraction of the table is scored.  Recall < 1.0 by construction;
+  num_planes/probe radius trade recall for cost.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_col(vec: Column, query: list[float]) -> Column:
+    """Cosine similarity of an array<float> column against a literal query
+    vector, as a pure Catalyst expression."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = F.aggregate(
+        F.zip_with(vec, q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qn = float(np.sqrt(np.sum(np.asarray(query, dtype="float64") ** 2)))
+    return F.when(norm_v == 0, F.lit(0.0)).otherwise(dot / (norm_v * F.lit(qn)))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc, deterministic
+    tie-break on id."""
+    return (
+        embeddings.select(
+            F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 3,
+) -> DataFrame:
+    """Approximate top-k: score only rows whose hyperplane-sign bucket is
+    within `probe_bits` bit flips of the query's bucket."""
+    dim = len(query)
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(num_planes, dim)).astype("float64")
+    qkey = int(((planes @ np.asarray(query)) > 0).dot(1 << np.arange(num_planes)))
+    probes = {qkey}
+    if probe_bits >= 1:
+        for i in range(num_planes):
+            probes.add(qkey ^ (1 << i))
+    planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
+
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = planes_b.value
+        for pdf in it:
+            V = np.vstack(pdf[vec_col].values).astype("float64")
+            keys = ((V @ P.T) > 0).dot(1 << np.arange(P.shape[0]))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col],
+                 "bucket": keys.astype("int64")}
+            )
+
+    bucketed = embeddings.select(id_col, vec_col).mapInPandas(
+        bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+    return (
+        bucketed.filter(F.col("bucket").isin(sorted(probes)))
+        .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -57,12 +57,12 @@ def ngrams_col(tokens: Column, lengths: tuple[int, ...] = (1, 2, 3)) -> Column:
         if n == 1:
             grams.append(tokens)
             continue
-        # indices 1..(size-n+1); slice n tokens from each
-        idx = F.sequence(
-            F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-        )
+        # indices 1..(size-n+1); slice n tokens from each.  Guarded:
+        # sequence(1, 0) would be DESCENDING [1, 0] and break slice.
+        idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
+        g = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
         grams.append(
-            F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+            F.when(F.size(tokens) >= n, g).otherwise(F.array().cast("array<string>"))
         )
     out = grams[0]
     for g in grams[1:]:

@@ -1,0 +1,180 @@
+"""Training-data ops tests: dedup family, similarity search, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from crrf_det_spark.ops import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    lsh_bucket_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+)
+from crrf_det_spark.ops.textstats import document_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+    (4, "completely different content about climate targets and emissions"),
+    (5, "der schnelle braune fuchs springt und die hunde sind nicht da"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=16).astype("float32")
+    rows = [
+        (1, (base + 0.01 * rng.normal(size=16)).astype("float32").tolist()),
+        (2, (base + 0.01 * rng.normal(size=16)).astype("float32").tolist()),
+        (3, rng.normal(size=16).astype("float32").tolist()),
+        (4, rng.normal(size=16).astype("float32").tolist()),
+        (5, (-base).astype("float32").tolist()),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+class TestDedup:
+    def test_exact(self, docs_df):
+        groups = exact_duplicates(docs_df).collect()
+        assert len(groups) == 1
+        assert list(groups[0].doc_ids) == [1, 2]
+
+    def test_minhash_lsh(self, docs_df):
+        sigs = minhash_signatures(docs_df)
+        pairs = {
+            (r.doc_a, r.doc_b): r.sig_jaccard
+            for r in minhash_lsh_pairs(sigs, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+        assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+        assert not any(4 in p or 5 in p for p in pairs)
+
+    def test_minhash_deterministic(self, docs_df):
+        a = minhash_signatures(docs_df).orderBy("doc_id").collect()
+        b = minhash_signatures(docs_df).orderBy("doc_id").collect()
+        assert [r.signature for r in a] == [r.signature for r in b]
+
+    def test_simhash_near(self, docs_df):
+        sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_df).collect()}
+        def ham(a, b):
+            return bin((a & 0xFFFFFFFFFFFFFFFF) ^ (b & 0xFFFFFFFFFFFFFFFF)).count("1")
+        assert sigs[1] == sigs[2]
+        assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
+        assert sigs[6] == 0
+
+    def test_ngram_jaccard(self, docs_df):
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert 0.3 <= pairs[(1, 3)] < 1.0
+        assert (1, 4) not in pairs
+
+    def test_embedding_near_dup(self, emb_df):
+        pairs = {
+            (r.doc_a, r.doc_b): r.cosine
+            for r in embedding_near_duplicates(emb_df, threshold=0.95).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+        assert all(p == (1, 2) for p in pairs)
+
+
+class TestSimilarity:
+    def test_brute_force_exact(self, emb_df):
+        rows = emb_df.orderBy("vec_id").collect()
+        q = list(rows[0].embedding)
+        got = brute_force_topk(emb_df, q, k=3).collect()
+        # numpy oracle
+        M = np.vstack([r.embedding for r in rows]).astype("float64")
+        qv = np.asarray(q)
+        sims = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+        order = np.argsort(-sims)[:3]
+        want = [rows[i].vec_id for i in order]
+        assert [r.vec_id for r in got] == want
+        assert got[0].cosine == pytest.approx(1.0, abs=1e-6)
+
+    def test_lsh_finds_top1(self, emb_df):
+        q = list(emb_df.filter("vec_id=1").first().embedding)
+        got = lsh_bucket_topk(emb_df, q, k=2, num_planes=4).collect()
+        assert got[0].vec_id == 1
+
+
+class TestTextStats:
+    def test_language_id(self, spark):
+        rows = spark.createDataFrame(
+            [
+                (1, "the cat and the dog went to the market in the morning"),
+                (2, "der hund und die katze sind nicht in das haus gegangen"),
+                (3, "xyzzy plugh"),
+            ],
+            "doc_id long, text string",
+        ).select("doc_id", language_id(F.col("text")).alias("lang"))
+        got = {r.doc_id: r.lang for r in rows.collect()}
+        assert got == {1: "en", 2: "de", 3: "und"}
+
+    def test_quality_and_fingerprint(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog and runs far today"),
+                (2, "!!! ,,, ... ??? ;;;"),
+                (3, "  The   Quick  brown fox JUMPS over the lazy dog and runs far today "),
+            ],
+            "doc_id long, text string",
+        )
+        out = document_stats(df).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[1].quality > by_id[2].quality
+        assert by_id[1].n_tokens_ws == 13
+        assert by_id[1].n_tokens_bpe >= by_id[1].n_tokens_ws
+        # fingerprint is whitespace/case-normalized
+        assert by_id[1].fingerprint == by_id[3].fingerprint
+
+
+class TestMultimodal:
+    def test_stub_raises_without_fake(self):
+        from crrf_det_spark.ops.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"x", {"width": 4, "height": 4}, fake=False)
+
+    def test_feature_plumbing(self, spark):
+        from crrf_det_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+            sample_frames,
+        )
+
+        rows = [
+            (1, "image", "image/png", b"payload-one", (16, 12, None, None)),
+            (2, "image", "image/png", b"payload-two", (32, 32, None, None)),
+            (3, "video", "video/mp4", b"vid", (640, 480, 3500, 105)),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        feats = extract_features(df, resize_to=(4, 4)).collect()
+        assert len(feats) == 3
+        assert all(len(r.feature) == 16 for r in feats)
+        assert all(0.0 <= v <= 1.0 for r in feats for v in r.feature)
+        # deterministic across runs
+        feats2 = extract_features(df, resize_to=(4, 4)).collect()
+        assert [r.feature for r in feats] == [r.feature for r in feats2]
+        frames = sample_frames(df, every_ms=1000).collect()
+        assert [(r.media_id, r.frame_ms) for r in frames] == [
+            (3, 0), (3, 1000), (3, 2000), (3, 3000),
+        ]
