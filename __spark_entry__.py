@@ -570,6 +570,46 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_dedup_jaccard3(spark, sf):
+    # 3-gram Jaccard: the realistic near-dup shape (sparse shingle overlap;
+    # the unigram variant above is the dense-vocabulary stress case)
+    from crrf_det_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=3, threshold=0.2)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_O_DEDUP_JACCARD3 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             t -> t <> '') AS t
+  FROM documents
+), sets AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, len(t) - 1)]) AS s
+  FROM toks WHERE len(t) >= 3
+), posting AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sets
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.ns AS na, r.ns AS nb, count(*) AS n_common
+  FROM posting l JOIN posting r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_common / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common / (na + nb - n_common) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_ann_topk(spark, sf):
     # brute-force cosine top-k against a fixed deterministic query vector
     from crrf_det_spark.ops import brute_force_topk
@@ -690,9 +730,9 @@ def _q_search_tfidf_query(spark, sf):
         F.col("text").alias("content"),
     )
     idx = build_index(segs, lengths=(1, 2))
-    return search(idx, "hash join -scan", force_numeric=False).select(
-        "conv_id", "turn_idx", F.round("score", 6).alias("score")
-    )
+    return search(
+        idx, "hash join -scan", force_numeric=False, n_docs=d.count()
+    ).select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -714,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f6_ngrams": _q_f6_ngrams,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
+        "dedup_jaccard3": _q_dedup_jaccard3,
         "ann_topk": _q_ann_topk,
         "text_tokens": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
@@ -744,6 +785,7 @@ def oracle_sql() -> dict[str, str]:
         "f6_ngrams": _O_F6,
         "dedup_exact": _O_DEDUP_EXACT,
         "dedup_jaccard": _O_DEDUP_JACCARD,
+        "dedup_jaccard3": _O_DEDUP_JACCARD3,
         "ann_topk": _O_ANN,
         "text_tokens": _O_TEXT_TOKENS,
         "text_fingerprint": _O_TEXT_FP,

@@ -6,7 +6,9 @@ Text-space analogue of the reference's word pipeline:
                     (/root/reference/src/tpdf/docmt.py:41-51,96-106)
 * assignment      ~ aggr.collect_tables / collect_text with the half-area
                     coverage threshold and the used-words first-writer-wins
-                    semi-join (/root/reference/src/tpdf/aggr.py:11-150)
+                    semi-join (/root/reference/src/tpdf/aggr.py:11-150),
+                    vectorized: one numpy overlap test per cell over the
+                    whole token array instead of a per-token Python loop
 * reading order   ~ segments sorted by box[0]*10000+box[1]
                     (/root/reference/src/t-pdf:30)
 
@@ -16,57 +18,85 @@ Pure Python/numpy; runs inside Arrow batches (see pipeline.py).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+
+import numpy as np
 
 from . import grid as G
 
 _TOKEN_RE = re.compile(r"\S+")
 
 
-@dataclass
-class Token:
-    text: str
-    # box in (v, char) page coordinates: ymin, xmin, ymax, xmax
-    ymin: int
-    xmin: int
-    ymax: int
-    xmax: int
-    coverage_threshold: float = field(init=False)
+class Tokens:
+    """Token texts + (ymin, xmin, ymax, xmax) boxes as numpy columns.
 
-    def __post_init__(self):
-        # half of the token's area must sit inside a cell/box for it to be
-        # assigned (aggr.py:29-32)
-        self.coverage_threshold = 0.5 * (self.xmax - self.xmin) * (self.ymax - self.ymin)
+    ``thr`` is the per-token coverage threshold: half the token's area must
+    sit inside a cell/box for assignment (aggr.py:29-32).
+    """
+
+    __slots__ = ("texts", "boxes", "thr", "used")
+
+    def __init__(self, texts: list[str], boxes: np.ndarray):
+        self.texts = texts
+        self.boxes = boxes  # (n, 4) float64
+        if len(texts):
+            w = boxes[:, 3] - boxes[:, 1]
+            h = boxes[:, 2] - boxes[:, 0]
+            self.thr = 0.5 * w * h
+        else:
+            self.thr = np.empty(0)
+        self.used = np.zeros(len(texts), dtype=bool)
+
+    def __len__(self):
+        return len(self.texts)
+
+    def take_overlapping(self, box) -> list[str]:
+        """Consume and return (in reading order) all unused tokens whose
+        overlap with ``box`` (ymin, xmin, ymax, xmax) exceeds their
+        threshold -- the first-writer-wins semi-join (aggr.py:69-72)."""
+        if not len(self.texts):
+            return []
+        b = self.boxes
+        x_ov = np.minimum(box[3], b[:, 3]) - np.maximum(box[1], b[:, 1])
+        y_ov = np.minimum(box[2], b[:, 2]) - np.maximum(box[0], b[:, 0])
+        hit = (
+            (x_ov > 0)
+            & (y_ov > 0)
+            & (np.maximum(x_ov, 0) * np.maximum(y_ov, 0) > self.thr)
+            & ~self.used
+        )
+        idx = np.nonzero(hit)[0]
+        if len(idx) == 0:
+            return []
+        self.used[idx] = True
+        return [self.texts[i] for i in idx]
 
 
-def tokenize_lines(lines: list[str]) -> list[Token]:
+def tokenize_lines(lines: list[str]) -> Tokens:
     """Whitespace tokens with (line, char) boxes, reading order."""
-    tokens = []
+    texts: list[str] = []
+    boxes: list[tuple] = []
     for li, line in enumerate(lines):
+        if not line:
+            continue
+        y0, y1 = G.v_start(li), G.v_end(li)
         for m in _TOKEN_RE.finditer(line):
-            tokens.append(
-                Token(m.group(0), G.v_start(li), m.start(), G.v_end(li), m.end())
-            )
-    return tokens
+            texts.append(m.group(0))
+            boxes.append((y0, m.start(), y1, m.end()))
+    arr = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    return Tokens(texts, arr)
 
 
-def _is_overlapped(box: tuple, tok: Token) -> bool:
-    """Overlap area > coverage threshold (aggr.py:38-48)."""
-    x_overlap = max(0, min(box[3], tok.xmax) - max(box[1], tok.xmin))
-    y_overlap = max(0, min(box[2], tok.ymax) - max(box[0], tok.ymin))
-    return x_overlap * y_overlap > tok.coverage_threshold
-
-
-def collect_tables(pseg_results: dict, tokens: list[Token]) -> tuple[list[dict], set]:
+def collect_tables(pseg_results: dict, tokens: Tokens) -> list[dict]:
     """Cells x tokens containment join -> 2-D table grids
-    (aggr.py:51-127).  Iteration order (sorted col_idx, then row group) is
-    preserved so the used-token semantics match the reference."""
+    (aggr.py:51-127).  Iteration order (sorted col_idx, then row group,
+    then row-major cells) is preserved so the used-token semantics match
+    the reference."""
     columns = pseg_results["columns"]
     column_row_groups = pseg_results["column_row_groups"]
     build_tables = pseg_results["column_row_grp_build_table"]
     grp_cells = pseg_results["column_row_grp_cells"]
+    bboxes = pseg_results.get("group_bboxes", {})
 
-    used: set[int] = set()
     tables = []
     for col_idx in sorted(build_tables):
         column = columns[col_idx]
@@ -86,42 +116,28 @@ def collect_tables(pseg_results: dict, tokens: list[Token]) -> tuple[list[dict],
                 continue
             cell_col_starts = sorted({x0 for (_y0, x0, _y1, _x1) in cells})
             cell_row_starts = sorted({y0 for (y0, _x0, _y1, _x1) in cells})
+            col_pos = {x: i for i, x in enumerate(cell_col_starts)}
+            row_pos = {y: i for i, y in enumerate(cell_row_starts)}
             table = [[""] * len(cell_col_starts) for _ in cell_row_starts]
-            for tr_idx, tr_start in enumerate(cell_row_starts):
-                row_cells = [c for c in cells if c[0] == tr_start]
-                for row_cell in row_cells:
-                    tc_idx = cell_col_starts.index(row_cell[1])
-                    cell_words = []
-                    for t_idx, tok in enumerate(tokens):
-                        if t_idx in used:
-                            continue
-                        if _is_overlapped(row_cell, tok):
-                            used.add(t_idx)
-                            cell_words.append(tok.text)
-                    if cell_words:
-                        table[tr_idx][tc_idx] = " ".join(cell_words)
+            # cells are already in row-major order (find_cells sorts)
+            for cell in cells:
+                words = tokens.take_overlapping(cell)
+                if words:
+                    table[row_pos[cell[0]]][col_pos[cell[1]]] = " ".join(words)
             if table:
-                # content-tight bbox (see grid.group_bboxes); falls back to
-                # the reference's column/group extent (aggr.py:125)
-                box = pseg_results.get("group_bboxes", {}).get(
+                box = bboxes.get(
                     (col_idx, grp_idx),
                     (rows[0][0], column[0], rows[-1][1], column[1]),
                 )
                 tables.append({"type": "table", "content": table, "box": box})
-    return tables, used
+    return tables
 
 
-def collect_text(pseg_results: dict, tokens: list[Token], used: set) -> list[dict]:
+def collect_text(pseg_results: dict, tokens: Tokens) -> list[dict]:
     """Leftover tokens -> text boxes (aggr.py:130-150)."""
     out = []
     for box in pseg_results.get("text_boxes", []):
-        words = []
-        for t_idx, tok in enumerate(tokens):
-            if t_idx in used:
-                continue
-            if _is_overlapped(box, tok):
-                used.add(t_idx)
-                words.append(tok.text)
+        words = tokens.take_overlapping(box)
         if not words:
             continue
         out.append({"type": "text", "content": " ".join(words), "box": box})
@@ -146,11 +162,11 @@ def extract_turn(text: str) -> list[dict]:
         return []
     occupancy, lines = G.occupancy_from_text(text)
     tokens = tokenize_lines(lines)
-    if not tokens:
+    if not len(tokens):
         return []
     results = G.parse_grid(occupancy)
-    tables, used = collect_tables(results, tokens)
-    texts = collect_text(results, tokens, used)
+    tables = collect_tables(results, tokens)
+    texts = collect_text(results, tokens)
     segments = tables + texts
     segments.sort(key=lambda s: (s["box"][0], s["box"][1]))
     out = []

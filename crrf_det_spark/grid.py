@@ -111,19 +111,24 @@ def occupancy_from_text(text: str) -> tuple[np.ndarray, list[str]]:
     width = max((len(ln) for ln in lines), default=0)
     if width == 0 or not lines:
         return np.ones((max(len(lines), 1), 1), dtype=np.uint8), lines
+    # single-buffer fast path: pad every line to `width` and decode one
+    # blob; falls back per line only for multibyte (non-latin1) chars
+    try:
+        blob = "".join(ln.ljust(width) for ln in lines).encode("latin-1")
+        grid = (
+            np.frombuffer(blob, dtype=np.uint8).reshape(len(lines), width)
+            == 0x20
+        ).astype(np.uint8)
+        return grid, lines
+    except UnicodeEncodeError:
+        pass
     grid = np.ones((len(lines), width), dtype=np.uint8)
     for i, ln in enumerate(lines):
         if not ln:
             continue
-        arr = np.frombuffer(ln.encode("utf-8", "replace")[: len(ln)], dtype=np.uint8)
-        # non-space bytes are content; multibyte chars may shift byte/char
-        # alignment, so fall back to a per-char mask for non-ascii lines
-        if len(arr) == len(ln):
-            grid[i, : len(ln)] = (arr == 0x20).astype(np.uint8)
-        else:
-            grid[i, : len(ln)] = np.array(
-                [1 if ch == " " else 0 for ch in ln], dtype=np.uint8
-            )
+        grid[i, : len(ln)] = np.array(
+            [1 if ch == " " else 0 for ch in ln], dtype=np.uint8
+        )
     return grid, lines
 
 
@@ -393,31 +398,37 @@ def row_hspacings_from_rows(
     short left-edge bullets are merged rightward (pseg.py:677-698).
     """
     crop = grid[:, column[0]: column[1]]
-    out = np.zeros((len(rows), crop.shape[1]), dtype=np.uint8)
-    for ri, (r0, _r1) in enumerate(rows):
-        line = r0 // V_UNIT
-        sp = crop[line].copy()
-        _eliminate_narrow_spacing(sp)
-        _merge_bullets(sp)
-        out[ri] = sp
+    line_idx = [r0 // V_UNIT for (r0, _r1) in rows]
+    out = crop[line_idx].copy()
+    _eliminate_narrow_spacing_rows(out)
+    for ri in range(out.shape[0]):
+        _merge_bullets(out[ri])
     return out
 
 
-def _eliminate_narrow_spacing(sp: np.ndarray) -> None:
-    d = np.diff(sp.astype(np.int16))
-    starts = np.where(d == 1)[0] + 1
-    ends = np.where(d == -1)[0] + 1
-    for s in starts:
-        e_candidates = ends[ends > s]
-        e = e_candidates[0] if len(e_candidates) else len(sp)
-        if e - s < MIN_SPACING_SPAN:
-            sp[s:e] = 0
-    # leading run is never narrowed (left margin), matching the reference
-    # where the crop starts inside the column
+def _eliminate_narrow_spacing_rows(m: np.ndarray) -> None:
+    """Fold interior spacing runs narrower than MIN_SPACING_SPAN into
+    content, whole matrix at once (leading runs -- the left margin -- are
+    never narrowed, matching the reference where the crop starts inside the
+    column)."""
+    n_rows, width = m.shape
+    # pad both sides with 0 so every run has exactly one start and one end,
+    # keeping np.where's row-major starts/ends aligned 1:1
+    padded = np.zeros((n_rows, width + 2), dtype=np.int8)
+    padded[:, 1:-1] = m
+    d = np.diff(padded, axis=1)
+    sr, sc = np.where(d == 1)
+    _er, ec = np.where(d == -1)
+    narrow = (ec - sc < MIN_SPACING_SPAN) & (sc > 0)
+    for ri, ci, ce in zip(sr[narrow], sc[narrow], ec[narrow]):
+        m[ri, ci:ce] = 0
 
 
 def _merge_bullets(sp: np.ndarray) -> None:
     quarter = len(sp) // 4
+    # fast path: no spacing in the left quarter -> nothing to merge
+    if quarter and not sp[:quarter].any():
+        return
     c_len = 0
     merge_start = -1
     for i in range(min(len(sp), max(quarter, 1))):
@@ -445,24 +456,20 @@ def vertical_lines_from_hspacings(
     Coordinates are ((x, y_top), (x, y_bottom)) in (column-crop char,
     group-row index) space, exactly as the reference.
     """
-    lines = []
     n_rows, width = row_hspacings.shape
-    for x in range(width):
-        col = row_hspacings[:, x]
-        y_top = None
-        y_bottom = None
-        for y in range(n_rows):
-            if col[y] == 0:
-                if y_top is not None and y_bottom is not None and y_bottom - y_top >= 1:
-                    lines.append(((x, y_top), (x, y_bottom)))
-                y_top = None
-                y_bottom = None
-            else:
-                if y_top is None:
-                    y_top = y
-                y_bottom = y
-        if y_top is not None and y_bottom is not None and y_bottom - y_top >= 1:
-            lines.append(((x, y_top), (x, y_bottom)))
+    # vectorized run-length per column: pad each column with 0s, diff along
+    # the row axis of the transposed matrix; np.where's row-major order
+    # keeps starts/ends aligned per column
+    t = np.zeros((width, n_rows + 2), dtype=np.int8)
+    t[:, 1:-1] = row_hspacings.T
+    d = np.diff(t, axis=1)
+    sx, sy = np.where(d == 1)      # run start: column x, y_top
+    _ex, ey = np.where(d == -1)    # run end (exclusive): y_bottom + 1
+    keep = (ey - sy) >= 2          # height >= 2 rows
+    lines = [
+        ((int(x), int(y0)), (int(x), int(y1)))
+        for x, y0, y1 in zip(sx[keep], sy[keep], ey[keep] - 1)
+    ]
     # sort tall-to-short weighted by top position (pseg.py:749-751)
     lines.sort(key=lambda ln: (ln[0][1] - ln[1][1]) * ln[0][1])
     return lines
@@ -602,21 +609,19 @@ def remove_busy_column_rectangles(
     def busy_rows(lo: int, hi: int) -> tuple[int, int]:
         if hi <= lo:
             return 0, 0
-        seg = row_hspacings[:, lo:hi]
-        n_busy = 0
-        n_any = 0
-        for y in range(seg.shape[0]):
-            content = seg[y] == 0
-            if not content.any():
-                continue
-            n_any += 1
-            # longest run of content (diff/cumsum run-length)
-            padded = np.concatenate(([0], content.view(np.uint8), [0]))
-            d = np.diff(padded.astype(np.int16))
-            runs = np.where(d == -1)[0] - np.where(d == 1)[0]
-            if len(runs) and runs.max() >= BUSY_COLUMN_CONTENT_RUN_LENGTH:
-                n_busy += 1
-        return n_busy, n_any
+        content = row_hspacings[:, lo:hi] == 0
+        # per-position current-run length via the cumsum-reset trick, whole
+        # matrix at once; max over positions = longest content run per row
+        c = content.astype(np.int32)
+        s = c.cumsum(axis=1)
+        reset = np.where(~content, s, 0)
+        run_at = s - np.maximum.accumulate(reset, axis=1)
+        longest = run_at.max(axis=1)
+        has_any = content.any(axis=1)
+        n_busy = int(
+            ((longest >= BUSY_COLUMN_CONTENT_RUN_LENGTH) & has_any).sum()
+        )
+        return n_busy, int(has_any.sum())
 
     b1, a1 = busy_rows(*r1)
     b2, a2 = busy_rows(*r2)
@@ -714,23 +719,31 @@ def find_intersections(
             intersections.append((0, c))
         if np.array_equal(img[img.shape[0] - 1, c - 1: c + 2], cross_lr):
             intersections.append((img.shape[0] - 1, c))
-    for trow in table_rows:
-        r = int(trow[0] - row_shift)
-        for tcol in table_cols:
-            c = int(tcol[1] - col_shift)
-            if r - 1 < 0 or r + 2 > img.shape[0] or c - 1 < 0 or c + 2 > img.shape[1]:
-                continue
-            w = img[r - 1: r + 2, c - 1: c + 2]
-            if (
-                np.array_equal(w, cross)
-                or np.array_equal(w, cross_dw)
-                or np.array_equal(w, cross_uw)
-            ):
-                intersections.append((r, c))
-                if np.array_equal(w, cross_dw):
-                    downs.add((r, c))
-                elif np.array_equal(w, cross_uw):
-                    ups.add((r, c))
+    # vectorized cross-pattern match over the known rows x cols candidate
+    # grid (the reference's optimized lookup, pseg.py:1106-1119, without
+    # the per-candidate Python window compare)
+    cand_r = np.array(
+        sorted({int(t[0] - row_shift) for t in table_rows}), dtype=np.int64
+    )
+    cand_c = np.array(
+        sorted({int(t[1] - col_shift) for t in table_cols}), dtype=np.int64
+    )
+    cand_r = cand_r[(cand_r >= 1) & (cand_r + 2 <= img.shape[0])]
+    cand_c = cand_c[(cand_c >= 1) & (cand_c + 2 <= img.shape[1])]
+    if len(cand_r) and len(cand_c):
+        win = np.lib.stride_tricks.sliding_window_view(img, (3, 3))
+        w = win[np.ix_(cand_r - 1, cand_c - 1)]  # (R, C, 3, 3)
+        eq_plain = (w == cross).all(axis=(-1, -2))
+        eq_dw = (w == cross_dw).all(axis=(-1, -2))
+        eq_uw = (w == cross_uw).all(axis=(-1, -2))
+        any_hit = eq_plain | eq_dw | eq_uw
+        for ri, ci in zip(*np.nonzero(any_hit)):
+            r, c = int(cand_r[ri]), int(cand_c[ci])
+            intersections.append((r, c))
+            if eq_dw[ri, ci]:
+                downs.add((r, c))
+            elif eq_uw[ri, ci]:
+                ups.add((r, c))
     if len(intersections) == 4:
         intersections = []
     intersections.sort(key=lambda p: p[0] * 100000 + p[1])

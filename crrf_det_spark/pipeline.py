@@ -107,14 +107,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def salted(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Repartition on (conv_id, turn-slice salt): conversation locality with
-    bounded per-conv slice size (explicit skew handling)."""
+    bounded per-conv slice size (explicit skew handling).
+
+    The partition count is ALWAYS explicit: a column-only repartition is an
+    AQE-coalescible shuffle, and AQE's size-based coalescing sees only the
+    small input bytes -- not the Python kernel cost per row -- so it would
+    collapse the extraction stage to a handful of partitions and serialize
+    the mapInPandas work.  Default: 3x the scheduler's parallelism.
+    """
     salt = F.pmod(
         F.hash(F.col("conv_id"), (F.col("turn_idx") / F.lit(SALT_TURNS)).cast("long")),
         F.lit(1 << 14),
     ).alias("_salt")
-    if num_partitions:
-        return df.repartition(num_partitions, F.col("conv_id"), salt)
-    return df.repartition(F.col("conv_id"), salt)
+    if not num_partitions:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 3
+    return df.repartition(num_partitions, F.col("conv_id"), salt)
 
 
 def extract_transcripts(

@@ -17,7 +17,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .search.index import tfidf_scores
 from .search.query import search
 
 
@@ -31,16 +30,16 @@ def run_filters(
     Returns (conv_id, turn_idx, cindex: array<int>, score, filter_name,
     labels).  Label accumulation for multi-filter hits mirrors
     project.py:82-89 (a segment hit by several filters gets all label
-    sets).  The TFIDF score table is computed once and shared by every
-    filter (the reference rebuilds the index per file; ours is corpus-wide
-    and reused).
+    sets).  The postings table is cached and shared by every filter; each
+    filter's term list is pushed into the cached scan (the reference
+    rebuilds the index per file; ours is corpus-wide and reused).
     """
-    scores = tfidf_scores(postings)
-    scores = scores.cache()
+    postings = postings.cache()
+    n_docs = postings.select("conv_id", "turn_idx", "cindex").distinct().count()
     parts = []
     for f in filters:
         hits = search(
-            postings, f["query"], force_numeric=force_numeric, scores=scores
+            postings, f["query"], force_numeric=force_numeric, n_docs=n_docs
         )
         parts.append(
             hits.withColumn("filter_name", F.lit(f["filter_name"])).withColumn(

@@ -53,13 +53,17 @@ def build_index(segments: DataFrame, lengths: tuple[int, ...] = (1, 2, 3)) -> Da
     )
 
 
-def tfidf_scores(postings: DataFrame) -> DataFrame:
+def tfidf_scores(postings: DataFrame, n_docs: int | None = None) -> DataFrame:
     """postings -> per (doc, field, term) tfidf scores.
 
     df/idf are computed with two hash aggs and a broadcast-able join on
-    term (term dictionary is tiny relative to postings).
+    term (term dictionary is tiny relative to postings).  Pass ``n_docs``
+    when the caller knows the corpus size (a cheap count on the segments
+    table); otherwise it is derived with a distinct-count job over the
+    postings, which is much more expensive.
     """
-    n_docs = postings.select("conv_id", "turn_idx", "cindex").distinct().count()
+    if n_docs is None:
+        n_docs = postings.select("conv_id", "turn_idx", "cindex").distinct().count()
     df_by_term = postings.groupBy("term").agg(
         F.count_distinct("conv_id", "turn_idx", "cindex").alias("df")
     )

@@ -58,15 +58,19 @@ def search(
     postings: DataFrame,
     terms: str,
     force_numeric: bool = True,
-    scores: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Run a boolean query -> per-turn results (conv_id, turn_idx, cindex
     list, score) ordered by score desc.
 
-    Execution shape (scale-first): include terms are a tiny IN-list filter
-    pushed into the postings scan; the all-terms-present check is one hash
-    agg counting distinct matched terms; excludes are a left_anti join.
-    No driver-side loops.
+    Execution shape (scale-first): the query's term IN-list is pushed into
+    the postings scan FIRST, so tf/df/idf are computed only for the handful
+    of query terms -- never a corpus-wide TFIDF table.  The
+    all-terms-present check is one hash agg counting distinct matched
+    terms; excludes are a left_anti join.  No driver-side loops.
+
+    ``n_docs`` (corpus size for idf) should be passed when known cheaply;
+    otherwise derived with a distinct-count over the postings.
     """
     q = parse_query(terms)
     if not q.includes:
@@ -76,8 +80,10 @@ def search(
     if force_numeric:
         q.includes.append((None, "numericvalue"))
 
-    sc = scores if scores is not None else tfidf_scores(postings)
-    sc = sc.withColumn("term_l", F.lower(F.col("term")))
+    if n_docs is None:
+        n_docs = (
+            postings.select("conv_id", "turn_idx", "cindex").distinct().count()
+        )
 
     def match(includes):
         conds = None
@@ -88,10 +94,15 @@ def search(
             conds = c if conds is None else (conds | c)
         return conds
 
-    inc = sc.filter(match(q.includes))
+    pl = postings.withColumn("term_l", F.lower(F.col("term")))
+    # term filter pushed to the scan; df/idf over the filtered subset only
+    inc = pl.filter(match(q.includes))
+    sc = tfidf_scores(inc, n_docs=n_docs).withColumn(
+        "term_l", F.lower(F.col("term"))
+    )
     n_terms = len({t for _f, t in q.includes})
     doc_hits = (
-        inc.groupBy("conv_id", "turn_idx", "cindex")
+        sc.groupBy("conv_id", "turn_idx", "cindex")
         .agg(
             F.count_distinct("term_l").alias("n_matched"),
             F.sum("tfidf").alias("score"),
@@ -99,7 +110,7 @@ def search(
         .filter(F.col("n_matched") == n_terms)
     )
     if q.excludes:
-        exc = sc.filter(match(q.excludes)).select(
+        exc = pl.filter(match(q.excludes)).select(
             "conv_id", "turn_idx", "cindex"
         ).distinct()
         doc_hits = doc_hits.join(

@@ -192,10 +192,30 @@ class TestAssignment:
 
     def test_tokens_coords(self):
         toks = tokenize_lines(["ab cd", "", "ef"])
-        assert [(t.text, t.ymin, t.xmin, t.xmax) for t in toks] == [
+        got = [
+            (toks.texts[i], *[int(v) for v in toks.boxes[i][[0, 1, 3]]])
+            for i in range(len(toks))
+        ]
+        assert got == [
             ("ab", 0, 0, 2),
             ("cd", 0, 3, 5),
             ("ef", 2 * G.V_UNIT, 0, 2),
+        ]
+
+    def test_ragged_column_missing_cell(self):
+        text = (
+            "intro prose line that is long enough to cover all the table gaps ok\n\n"
+            "name     q1      q2\n"
+            "alpha    1.0     2.0\n"
+            "beta     3.0\n"
+            "gamma    5.0     6.0"
+        )
+        segs = extract_turn(text)
+        assert segs[1]["rows"] == [
+            ["name", "q1", "q2"],
+            ["alpha", "1.0", "2.0"],
+            ["beta", "3.0", ""],
+            ["gamma", "5.0", "6.0"],
         ]
 
     def test_empty_turn(self):
