@@ -519,6 +519,167 @@ GROUP BY gram ORDER BY gram
 """
 
 
+def _q_f8_json_parse(spark, sf):
+    # F8: JSON ser/de -- parse events.props, aggregate the extracted field
+    e = _t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_O_F8 = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _q_f11_block_rounding(spark, sf):
+    # F11: crop coords rounded to 8px blocks (project.py:178-184) ->
+    # floor(x/8)*8 bucketing
+    li = _t(spark, sf, "lineitem")
+    blk = (F.floor(F.col("l_extendedprice") / 8) * 8).cast("long")
+    return (
+        li.select(blk.alias("price_block"))
+        .groupBy("price_block")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "price_block")
+        .limit(20)
+    )
+
+
+_O_F11 = """
+SELECT CAST(floor(l_extendedprice / 8) * 8 AS BIGINT) AS price_block,
+       count(*) AS n
+FROM lineitem GROUP BY 1 ORDER BY n DESC, price_block LIMIT 20
+"""
+
+
+def _q_f12_date_format(spark, sf):
+    # F12: ISO timestamp formatting (data/file.py:50) -> monthly rollup
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .groupBy("month")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("month")
+    )
+
+
+_O_F12 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+
+def _q_a7_median(spark, sf):
+    # A7: exact median / max over grouped values (pseg.py:914-916)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_O_A7 = """
+SELECT l_returnflag, median(l_quantity) AS median_qty,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _q_u3_anti_join(spark, sf):
+    # U3: set difference (used_words anti-join) -> customers with no orders
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_O_U3 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def _q_a12_label_collect(spark, sf):
+    # A12: label accumulation -> distinct sorted event types per user
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_O_A12 = """
+SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def _q_f1_entity_unescape(spark, sf):
+    # F1: HTML entity unescape (docmt.py:104) over synthesized entities
+    d = _t(spark, sf, "documents")
+    synth = F.concat(
+        F.lit("a &amp; b &lt;tag&gt; &quot;"), F.substring("text", 1, 20)
+    )
+    unescaped = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(synth, "&lt;", "<"), "&gt;", ">"
+            ),
+            "&quot;",
+            '"',
+        ),
+        "&amp;",
+        "&",
+    )
+    return d.select("doc_id", unescaped.alias("unescaped")).orderBy("doc_id")
+
+
+_O_F1 = """
+SELECT doc_id,
+       replace(replace(replace(replace(
+         'a &amp; b &lt;tag&gt; &quot;' || substr(text, 1, 20),
+         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&') AS unescaped
+FROM documents ORDER BY doc_id
+"""
+
+
+def _q_o6_sample(spark, sf):
+    # O6: random sampling for tagging (data/project.py:40-64); seeded
+    # sampling differs across engines -> rows-only check on the contract
+    # (deterministic per engine, size-bounded)
+    d = _t(spark, sf, "documents")
+    return d.sample(fraction=0.05, seed=7).select("doc_id", "source").limit(20)
+
+
 def _q_dedup_exact(spark, sf):
     # exact dedup via digest group (returns dup groups; empty is valid)
     from crrf_det_spark.ops import exact_duplicates
@@ -750,8 +911,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_first_writer_wins": _q_j3_first_writer_wins,
         "j4_broadcast_lookup": _q_j4_broadcast_lookup,
         "u1_distinct": _q_u1_distinct,
+        "u3_anti_join": _q_u3_anti_join,
         "o5_topk": _q_o5_topk,
+        "o6_sample": _q_o6_sample,
+        "f1_entity_unescape": _q_f1_entity_unescape,
         "f6_ngrams": _q_f6_ngrams,
+        "f8_json_parse": _q_f8_json_parse,
+        "f11_block_rounding": _q_f11_block_rounding,
+        "f12_date_format": _q_f12_date_format,
+        "a7_median": _q_a7_median,
+        "a12_label_collect": _q_a12_label_collect,
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard3": _q_dedup_jaccard3,
@@ -781,8 +950,15 @@ def oracle_sql() -> dict[str, str]:
         "j3_first_writer_wins": _O_J3,
         "j4_broadcast_lookup": _O_J4,
         "u1_distinct": _O_U1,
+        "u3_anti_join": _O_U3,
         "o5_topk": _O_O5,
+        "f1_entity_unescape": _O_F1,
         "f6_ngrams": _O_F6,
+        "f8_json_parse": _O_F8,
+        "f11_block_rounding": _O_F11,
+        "f12_date_format": _O_F12,
+        "a7_median": _O_A7,
+        "a12_label_collect": _O_A12,
         "dedup_exact": _O_DEDUP_EXACT,
         "dedup_jaccard": _O_DEDUP_JACCARD,
         "dedup_jaccard3": _O_DEDUP_JACCARD3,

@@ -226,6 +226,33 @@ def lineage(extraction: DataFrame, stage: str = "extract") -> DataFrame:
     ).select("stage", "partition_id", "n_rows", "n_segments", "n_bytes_in", "n_bytes_out")
 
 
+def write_segments_json(extraction: DataFrame, path: str) -> None:
+    """JSON-lines sink for interop (analogue of the page.N.json output,
+    /root/reference/src/t-pdf:113-117): one JSON object per turn with the
+    nested segments array."""
+    extraction.select(
+        "conv_id", "turn_idx", "segments", "extracted_text"
+    ).write.mode("overwrite").json(path)
+
+
+def read_segments_json(spark: SparkSession, path: str) -> DataFrame:
+    """Read the JSON sink back with the canonical nested schema."""
+    schema = T.StructType(
+        [f for f in EXTRACTION_SCHEMA.fields
+         if f.name in ("conv_id", "turn_idx", "segments", "extracted_text")]
+    )
+    return spark.read.schema(schema).json(path)
+
+
+def read_corpus(spark: SparkSession, root: str, fmt: str = "parquet") -> DataFrame:
+    """Recursive corpus listing (analogue of enumerate_user_files,
+    /root/reference/src/data/file.py:255-270): one scan over an arbitrarily
+    nested directory tree."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").format(fmt).load(root)
+    )
+
+
 def segments_view(extraction: DataFrame) -> DataFrame:
     """Explode nested segments to one row per segment (the search layer's
     input; analogue of /root/reference/src/search/index.js:37-48)."""
