@@ -119,11 +119,19 @@ def collect_tables(pseg_results: dict, tokens: Tokens) -> list[dict]:
             col_pos = {x: i for i, x in enumerate(cell_col_starts)}
             row_pos = {y: i for i, y in enumerate(cell_row_starts)}
             table = [[""] * len(cell_col_starts) for _ in cell_row_starts]
-            # cells are already in row-major order (find_cells sorts)
+            # cells are already in row-major order (find_cells sorts).
+            # Divergence from aggr.py:120 (which overwrites on duplicate
+            # (row, col) starts and silently drops the earlier words):
+            # append instead, so token conservation holds even for the
+            # degenerate overlapping-cell geometries find_cells can emit.
             for cell in cells:
                 words = tokens.take_overlapping(cell)
                 if words:
-                    table[row_pos[cell[0]]][col_pos[cell[1]]] = " ".join(words)
+                    r, c = row_pos[cell[0]], col_pos[cell[1]]
+                    joined = " ".join(words)
+                    table[r][c] = (
+                        f"{table[r][c]} {joined}" if table[r][c] else joined
+                    )
             if table:
                 box = bboxes.get(
                     (col_idx, grp_idx),

@@ -791,7 +791,9 @@ def find_cells(intersections: list, ups: set, downs: set) -> list:
             break
         if next_row is not None and next_row > row and next_col > col:
             cells.append((row, col, next_row, next_col))
-    cells = sorted(set(cells), key=lambda c: c[0] * 100000 + c[1])
+    # row-major like the reference (pseg.py:1184) but with the full tuple
+    # as tie-break so duplicate-start cells order deterministically
+    cells = sorted(set(cells))
     return cells
 
 

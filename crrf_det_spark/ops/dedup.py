@@ -231,6 +231,90 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact ngram-Jaccard pairs with PPJoin-style prefix + length filters.
+
+    Same result as ``ngram_jaccard_pairs`` but candidates are generated
+    only from each document's *prefix* -- its ``|A| - ceil(t*|A|) + 1``
+    globally-rarest shingles (two sets with Jaccard >= t MUST share a
+    prefix shingle under a common global order).  On zipfian corpora this
+    prunes candidate pairs by orders of magnitude; on adversarially dense
+    vocabularies it degrades gracefully to the plain join.  The length
+    filter (t*|A| <= |B| <= |A|/t) is applied before exact verification
+    via array_intersect.
+    """
+    from pyspark.sql import Window as W
+
+    shingled = docs.select(
+        "doc_id",
+        F.array_distinct(ngrams_of(F.col(text_col), n)).alias("shingles"),
+    ).withColumn("ns", F.size("shingles"))
+    shingled = shingled.filter(F.col("ns") > 0).cache()
+
+    exploded = shingled.select(
+        "doc_id", "ns", F.explode("shingles").alias("shingle")
+    )
+    df_tbl = exploded.groupBy("shingle").agg(F.count("*").alias("df"))
+    # canonical global order: rarest first (df asc, shingle asc tie-break)
+    w = W.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = (
+        F.col("ns") - F.ceil(F.lit(threshold) * F.col("ns")) + 1
+    ).cast("int")
+    prefix = (
+        exploded.join(F.broadcast(df_tbl), "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "ns", "shingle")
+    )
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            # length filter: |B| in [t*|A|, |A|/t]
+            & (F.col("r.ns") >= F.lit(threshold) * F.col("l.ns"))
+            & (F.col("l.ns") >= F.lit(threshold) * F.col("r.ns")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = shingled.select("doc_id", "shingles", "ns")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sa"),
+                F.col("ns").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sb"),
+                F.col("ns").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
 def ngrams_of(text, n: int):
     """Word n-grams of a text column as an array column (shared helper)."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")

@@ -55,6 +55,75 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_fraction: float = 0.2,
+    seed: int = 11,
+    iters: int = 8,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Train: k-means on a driver-side sample (centroids are tiny: n_centroids
+    x dim floats, broadcast).  Assign: one vectorized pass bucketing every
+    row to its nearest centroid.  Probe: score exact cosine only inside the
+    ``n_probe`` centroids nearest to the query.  At 100TB the assignment
+    pass is done once at ingest and persisted as a partition column, so a
+    query touches n_probe/n_centroids of the data.
+    """
+    sample = np.vstack(
+        [
+            r[0]
+            for r in embeddings.select(vec_col)
+            .sample(fraction=sample_fraction, seed=seed)
+            .collect()
+        ]
+    ).astype("float64")
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+
+    q = np.asarray(query, dtype="float64")
+    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
+    probe_set = {int(x) for x in probe}
+    cent_b = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+    def assign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = cent_b.value
+        for pdf in it:
+            V = np.vstack(pdf[vec_col].values).astype("float64")
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "centroid": d.argmin(axis=1).astype("int64"),
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign_batches,
+        schema=f"{id_col} long, {vec_col} array<float>, centroid long",
+    )
+    return (
+        assigned.filter(F.col("centroid").isin(sorted(probe_set)))
+        .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query: list[float],

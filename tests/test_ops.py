@@ -87,6 +87,22 @@ class TestDedup:
         assert 0.3 <= pairs[(1, 3)] < 1.0
         assert (1, 4) not in pairs
 
+    def test_prefix_filter_matches_naive(self, docs_df):
+        from crrf_det_spark.ops.dedup import ngram_jaccard_pairs_prefix
+
+        for thr in (0.3, 0.6):
+            naive = {
+                (r.doc_a, r.doc_b): round(r.jaccard, 9)
+                for r in ngram_jaccard_pairs(docs_df, n=2, threshold=thr).collect()
+            }
+            fast = {
+                (r.doc_a, r.doc_b): round(r.jaccard, 9)
+                for r in ngram_jaccard_pairs_prefix(
+                    docs_df, n=2, threshold=thr
+                ).collect()
+            }
+            assert naive == fast
+
     def test_embedding_near_dup(self, emb_df):
         pairs = {
             (r.doc_a, r.doc_b): r.cosine
@@ -114,6 +130,16 @@ class TestSimilarity:
         q = list(emb_df.filter("vec_id=1").first().embedding)
         got = lsh_bucket_topk(emb_df, q, k=2, num_planes=4).collect()
         assert got[0].vec_id == 1
+
+    def test_ivf_finds_top1(self, emb_df):
+        from crrf_det_spark.ops.similarity import ivf_topk
+
+        q = list(emb_df.filter("vec_id=1").first().embedding)
+        got = ivf_topk(
+            emb_df, q, k=2, n_centroids=3, n_probe=2, sample_fraction=1.0
+        ).collect()
+        assert got[0].vec_id == 1
+        assert got[0].cosine == pytest.approx(1.0, abs=1e-6)
 
 
 class TestTextStats:

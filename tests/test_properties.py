@@ -1,0 +1,74 @@
+"""Property-based kernel tests (hypothesis): the extractor must never
+crash, and must conserve tokens -- every whitespace token of the input
+(outside stripped boilerplate lines) appears in the output exactly once,
+in unchanged form.  This is the text-level counterpart of the reference's
+guarantee that every pdftotext word lands in exactly one cell or text box
+(used_words, /root/reference/src/tpdf/aggr.py:69-118)."""
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings, strategies as st
+
+from crrf_det_spark.extract import extract_turn
+from crrf_det_spark.grid import BOILERPLATE_MARGIN_LINES, BOILERPLATE_RE
+
+WORD = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        categories=("Lu", "Ll", "Nd", "Pc", "Pd", "Sc"),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+LINE = st.one_of(
+    st.just(""),
+    st.lists(WORD, min_size=1, max_size=12).map(" ".join),
+    # aligned-ish gap lines (table candidates)
+    st.lists(WORD, min_size=2, max_size=5).map("   ".join),
+    # leading whitespace / weird spacing
+    st.lists(WORD, min_size=1, max_size=6).map(lambda ws: "  " + "    ".join(ws)),
+)
+
+# <=18 lines: the 95% column-blank rule then needs a fully blank char
+# column, so no token can straddle a page-column boundary (a straddling
+# token may legitimately lose the coverage-threshold test on both sides --
+# same physics as the reference's clear_column_spacing erasing gutter ink)
+TURN = st.lists(LINE, min_size=0, max_size=18).map("\n".join)
+
+
+def _expected_tokens(text: str) -> Counter:
+    lines = [ln.expandtabs(4) for ln in text.split("\n")]
+    n = len(lines)
+    for i in list(range(min(BOILERPLATE_MARGIN_LINES, n))) + list(
+        range(max(0, n - BOILERPLATE_MARGIN_LINES), n)
+    ):
+        if lines[i] and BOILERPLATE_RE.match(lines[i]):
+            lines[i] = ""
+    return Counter(t for ln in lines for t in re.findall(r"\S+", ln))
+
+
+def _output_tokens(segments) -> Counter:
+    c: Counter = Counter()
+    for s in segments:
+        for t in re.findall(r"\S+", s["content"].replace("\t", " ").replace("\n", " ")):
+            c[t] += 1
+    return c
+
+
+@settings(max_examples=300, deadline=None)
+@given(TURN)
+def test_token_conservation(text):
+    segs = extract_turn(text)
+    assert _output_tokens(segs) == _expected_tokens(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=400))
+def test_never_crashes_on_arbitrary_text(text):
+    segs = extract_turn(text)
+    for s in segs:
+        assert s["type"] in ("text", "table")
+        assert isinstance(s["content"], str)
+        assert len(s["box"]) == 4
