@@ -41,7 +41,7 @@ HEADLINE = [
     "w4_sessionize",
     "j1_interval_join",
     "a9_tfidf",
-    "dedup_jaccard3",
+    "dedup_minhash",
     "ann_topk",
     "extraction_segments",
     "search_tfidf_query",
