@@ -33,7 +33,7 @@ class Tokens:
     sit inside a cell/box for assignment (aggr.py:29-32).
     """
 
-    __slots__ = ("texts", "boxes", "thr", "used")
+    __slots__ = ("texts", "boxes", "thr", "used", "_y0", "_hmax")
 
     def __init__(self, texts: list[str], boxes: np.ndarray):
         self.texts = texts
@@ -42,8 +42,14 @@ class Tokens:
             w = boxes[:, 3] - boxes[:, 1]
             h = boxes[:, 2] - boxes[:, 0]
             self.thr = 0.5 * w * h
+            # tokens are emitted line-by-line, so ymin is nondecreasing --
+            # lets each containment probe binary-search its y-window
+            self._y0 = boxes[:, 0]
+            self._hmax = float(h.max())
         else:
             self.thr = np.empty(0)
+            self._y0 = np.empty(0)
+            self._hmax = 0.0
         self.used = np.zeros(len(texts), dtype=bool)
 
     def __len__(self):
@@ -52,23 +58,80 @@ class Tokens:
     def take_overlapping(self, box) -> list[str]:
         """Consume and return (in reading order) all unused tokens whose
         overlap with ``box`` (ymin, xmin, ymax, xmax) exceeds their
-        threshold -- the first-writer-wins semi-join (aggr.py:69-72)."""
+        threshold -- the first-writer-wins semi-join (aggr.py:69-72).
+
+        The scan is windowed to tokens whose y-extent can overlap the box
+        (ymin sorted => searchsorted), turning the cells x tokens join from
+        O(cells * tokens) into O(cells * log(tokens) + hits)."""
         if not len(self.texts):
             return []
-        b = self.boxes
+        lo = int(np.searchsorted(self._y0, box[0] - self._hmax, side="left"))
+        hi = int(np.searchsorted(self._y0, box[2], side="left"))
+        if lo >= hi:
+            return []
+        b = self.boxes[lo:hi]
         x_ov = np.minimum(box[3], b[:, 3]) - np.maximum(box[1], b[:, 1])
         y_ov = np.minimum(box[2], b[:, 2]) - np.maximum(box[0], b[:, 0])
         hit = (
             (x_ov > 0)
             & (y_ov > 0)
-            & (np.maximum(x_ov, 0) * np.maximum(y_ov, 0) > self.thr)
-            & ~self.used
+            & (np.maximum(x_ov, 0) * np.maximum(y_ov, 0) > self.thr[lo:hi])
+            & ~self.used[lo:hi]
         )
         idx = np.nonzero(hit)[0]
         if len(idx) == 0:
             return []
+        idx = idx + lo
         self.used[idx] = True
         return [self.texts[i] for i in idx]
+
+    def take_overlapping_many(self, boxes: list) -> list[list[str]]:
+        """Batched first-writer-wins join: one call for ALL boxes (in
+        priority order) of a turn instead of one scan per box.
+
+        Sequentially taking boxes one at a time is equivalent to assigning
+        each token to the FIRST box in the list whose overlap exceeds the
+        token's threshold (thresholds are static per token), so the whole
+        join collapses to one boxes x tokens overlap matrix + argmax per
+        token.  Boxes are processed in fixed-size chunks so the temporary
+        matrices stay small even for degenerate giant turns."""
+        out: list[list[str]] = [[] for _ in range(len(boxes))]
+        if not len(self.texts) or not boxes:
+            return out
+        barr = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        chunk = 64
+        for c0 in range(0, len(barr), chunk):
+            bc = barr[c0: c0 + chunk]
+            lo = int(
+                np.searchsorted(
+                    self._y0, bc[:, 0].min() - self._hmax, side="left"
+                )
+            )
+            hi = int(np.searchsorted(self._y0, bc[:, 2].max(), side="left"))
+            if lo >= hi:
+                continue
+            t = self.boxes[lo:hi]
+            x_ov = np.minimum(bc[:, None, 3], t[None, :, 3]) - np.maximum(
+                bc[:, None, 1], t[None, :, 1]
+            )
+            y_ov = np.minimum(bc[:, None, 2], t[None, :, 2]) - np.maximum(
+                bc[:, None, 0], t[None, :, 0]
+            )
+            hit = (
+                (x_ov > 0)
+                & (y_ov > 0)
+                & (x_ov * y_ov > self.thr[None, lo:hi])
+                & ~self.used[None, lo:hi]
+            )
+            any_hit = hit.any(axis=0)
+            if not any_hit.any():
+                continue
+            first = hit.argmax(axis=0)
+            taken = np.nonzero(any_hit)[0]
+            self.used[taken + lo] = True
+            for ti in taken:
+                out[c0 + int(first[ti])].append(self.texts[ti + lo])
+        return out
 
 
 def tokenize_lines(lines: list[str]) -> Tokens:
@@ -97,7 +160,13 @@ def collect_tables(pseg_results: dict, tokens: Tokens) -> list[dict]:
     grp_cells = pseg_results["column_row_grp_cells"]
     bboxes = pseg_results.get("group_bboxes", {})
 
+    # pass 1: gather every cell across every table in the reference's
+    # deterministic order (sorted col_idx, sorted group, row-major cells) --
+    # the batched join below preserves exactly the sequential
+    # first-writer-wins semantics over this order
     tables = []
+    all_cells: list[tuple] = []
+    cell_meta: list[tuple[int, int, int]] = []  # (table_no, r, c)
     for col_idx in sorted(build_tables):
         column = columns[col_idx]
         for grp_idx in sorted(build_tables[col_idx]):
@@ -119,33 +188,39 @@ def collect_tables(pseg_results: dict, tokens: Tokens) -> list[dict]:
             col_pos = {x: i for i, x in enumerate(cell_col_starts)}
             row_pos = {y: i for i, y in enumerate(cell_row_starts)}
             table = [[""] * len(cell_col_starts) for _ in cell_row_starts]
-            # cells are already in row-major order (find_cells sorts).
-            # Divergence from aggr.py:120 (which overwrites on duplicate
-            # (row, col) starts and silently drops the earlier words):
-            # append instead, so token conservation holds even for the
-            # degenerate overlapping-cell geometries find_cells can emit.
+            box = bboxes.get(
+                (col_idx, grp_idx),
+                (rows[0][0], column[0], rows[-1][1], column[1]),
+            )
+            tno = len(tables)
+            tables.append({"type": "table", "content": table, "box": box})
+            # cells are already in row-major order (find_cells sorts)
             for cell in cells:
-                words = tokens.take_overlapping(cell)
-                if words:
-                    r, c = row_pos[cell[0]], col_pos[cell[1]]
-                    joined = " ".join(words)
-                    table[r][c] = (
-                        f"{table[r][c]} {joined}" if table[r][c] else joined
-                    )
-            if table:
-                box = bboxes.get(
-                    (col_idx, grp_idx),
-                    (rows[0][0], column[0], rows[-1][1], column[1]),
-                )
-                tables.append({"type": "table", "content": table, "box": box})
+                all_cells.append(cell)
+                cell_meta.append((tno, row_pos[cell[0]], col_pos[cell[1]]))
+
+    # pass 2: one batched cells x tokens containment join.
+    # Divergence from aggr.py:120 (which overwrites on duplicate
+    # (row, col) starts and silently drops the earlier words): append
+    # instead, so token conservation holds even for the degenerate
+    # overlapping-cell geometries find_cells can emit.
+    for (tno, r, c), words in zip(
+        cell_meta, tokens.take_overlapping_many(all_cells)
+    ):
+        if words:
+            table = tables[tno]["content"]
+            joined = " ".join(words)
+            table[r][c] = (
+                f"{table[r][c]} {joined}" if table[r][c] else joined
+            )
     return tables
 
 
 def collect_text(pseg_results: dict, tokens: Tokens) -> list[dict]:
     """Leftover tokens -> text boxes (aggr.py:130-150)."""
+    boxes = pseg_results.get("text_boxes", [])
     out = []
-    for box in pseg_results.get("text_boxes", []):
-        words = tokens.take_overlapping(box)
+    for box, words in zip(boxes, tokens.take_overlapping_many(list(boxes))):
         if not words:
             continue
         out.append({"type": "text", "content": " ".join(words), "box": box})

@@ -267,6 +267,24 @@ def _row_pattern(crop_line: np.ndarray) -> int:
     return 0
 
 
+def _row_patterns(crop: np.ndarray) -> np.ndarray:
+    """Vectorized ``_row_pattern`` over every line of a column crop at once
+    (same precedence: left-half white -> 2, right-half white -> 1, both
+    quarters white -> 3)."""
+    n_lines, w = crop.shape
+    half = w // 2
+    quar = half // 2
+    pat = np.zeros(n_lines, dtype=np.int8)
+    if half:
+        if quar:
+            pat[
+                crop[:, :quar].all(axis=1) & crop[:, w - quar:].all(axis=1)
+            ] = 3
+        pat[crop[:, w - half:].all(axis=1)] = 1
+        pat[crop[:, :half].all(axis=1)] = 2
+    return pat
+
+
 def row_groups_from_column(
     grid: np.ndarray, column: list[int]
 ) -> tuple[list[list[list[int]]], np.ndarray]:
@@ -288,12 +306,10 @@ def row_groups_from_column(
     line_blank = crop.all(axis=1)
     row_vspacings = line_blank.astype(np.uint8)
 
-    all_rows: list[list[int]] = []
-    all_patterns: list[int] = []
-    for i in range(n_lines):
-        if not line_blank[i]:
-            all_rows.append([v_start(i), v_end(i)])
-            all_patterns.append(_row_pattern(crop[i]))
+    pat = _row_patterns(crop)
+    nonblank = np.nonzero(~line_blank)[0]
+    all_rows: list[list[int]] = [[v_start(i), v_end(i)] for i in nonblank]
+    all_patterns: list[int] = [int(p) for p in pat[nonblank]]
     if not all_rows:
         return [], row_vspacings
 
@@ -700,7 +716,6 @@ def find_intersections(
     cross = np.array([[1, 0, 1], [0, 0, 0], [1, 0, 1]], dtype=np.uint8)
     cross_dw = np.array([[1, 1, 1], [0, 0, 0], [1, 0, 1]], dtype=np.uint8)
     cross_uw = np.array([[1, 0, 1], [0, 0, 0], [1, 1, 1]], dtype=np.uint8)
-    cross_lr = np.array([1, 0, 1], dtype=np.uint8)
     intersections = [
         (first_row - row_shift, 0),
         (first_row - row_shift, img.shape[1] - 1),
@@ -709,16 +724,24 @@ def find_intersections(
     ]
     ups: set = set()
     downs: set = set()
-    for r in range(1, img.shape[0] - 1):
-        if np.array_equal(img[r - 1: r + 2, 0], cross_lr):
-            intersections.append((r, 0))
-        if np.array_equal(img[r - 1: r + 2, img.shape[1] - 1], cross_lr):
-            intersections.append((r, img.shape[1] - 1))
-    for c in range(1, img.shape[1] - 1):
-        if np.array_equal(img[0, c - 1: c + 2], cross_lr):
-            intersections.append((0, c))
-        if np.array_equal(img[img.shape[0] - 1, c - 1: c + 2], cross_lr):
-            intersections.append((img.shape[0] - 1, c))
+    # vectorized [1,0,1] pattern match along the four border edges
+    # (replaces the reference's per-pixel window compare, pseg.py:1064-1093)
+    def _edge_hits(edge: np.ndarray) -> np.ndarray:
+        return (
+            np.nonzero(
+                (edge[:-2] == 1) & (edge[1:-1] == 0) & (edge[2:] == 1)
+            )[0]
+            + 1
+        )
+
+    for r in _edge_hits(img[:, 0]):
+        intersections.append((int(r), 0))
+    for r in _edge_hits(img[:, img.shape[1] - 1]):
+        intersections.append((int(r), img.shape[1] - 1))
+    for c in _edge_hits(img[0, :]):
+        intersections.append((0, int(c)))
+    for c in _edge_hits(img[img.shape[0] - 1, :]):
+        intersections.append((img.shape[0] - 1, int(c)))
     # vectorized cross-pattern match over the known rows x cols candidate
     # grid (the reference's optimized lookup, pseg.py:1106-1119, without
     # the per-candidate Python window compare)

@@ -56,6 +56,14 @@ class TestColumns:
 
 # stage 02: row groups (ref test_row_groups_from_columns, test_pseg.py:78-121)
 class TestRowGroups:
+    def test_vectorized_row_patterns_match_scalar(self):
+        rng = np.random.default_rng(11)
+        for w in (1, 2, 3, 4, 5, 9, 40):
+            crop = (rng.random((64, w)) < 0.7).astype(np.uint8)
+            vec = G._row_patterns(crop)
+            for i in range(crop.shape[0]):
+                assert vec[i] == G._row_pattern(crop[i]), (w, i)
+
     def test_blank_line_splits_groups(self):
         text = "para one line a\npara one line b\n\npara two line a"
         g, _ = _grid(text)

@@ -64,6 +64,30 @@ def test_token_conservation(text):
     assert _output_tokens(segs) == _expected_tokens(text)
 
 
+BOX = st.tuples(
+    st.integers(0, 40), st.integers(0, 60),
+    st.integers(0, 40), st.integers(0, 60),
+).map(lambda b: (min(b[0], b[2]), min(b[1], b[3]),
+                 max(b[0], b[2]) + 1, max(b[1], b[3]) + 1))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TURN, st.lists(BOX, min_size=0, max_size=150))
+def test_batched_join_equals_sequential(text, boxes):
+    """take_overlapping_many must be exactly the sequential
+    first-writer-wins loop over the same box order (incl. >1 chunk)."""
+    from crrf_det_spark.extract import tokenize_lines
+    from crrf_det_spark.grid import occupancy_from_text
+
+    _, lines = occupancy_from_text(text)
+    seq_tokens = tokenize_lines(lines)
+    batch_tokens = tokenize_lines(lines)
+    expected = [seq_tokens.take_overlapping(b) for b in boxes]
+    got = batch_tokens.take_overlapping_many(boxes)
+    assert got == expected
+    assert list(seq_tokens.used) == list(batch_tokens.used)
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=400))
 def test_never_crashes_on_arbitrary_text(text):
