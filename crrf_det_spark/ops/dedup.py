@@ -101,7 +101,16 @@ def minhash_lsh_pairs(
     sig_jaccard >= threshold.  Shuffle cost: one explode on bands plus a
     per-bucket self-join (buckets are tiny under any realistic dup rate;
     a salted variant would cap pathological buckets).
+
+    The signature table is persisted here: the plan references it five
+    times (size probe, both sides of the band join, both sides of the
+    verify join), and without the persist each branch would re-run the
+    upstream signature mapInPandas job.  Signatures are ~num_hashes longs
+    per doc -- orders of magnitude smaller than the corpus text -- so this
+    holds at any scale (a production pipeline would materialize them to a
+    table instead).
     """
+    signatures = signatures.persist()
     n = signatures.select(F.size("signature")).first()[0]
     rows_per_band = n // num_bands
     banded = signatures.select(

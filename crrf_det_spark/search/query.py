@@ -94,8 +94,21 @@ def search(
             conds = c if conds is None else (conds | c)
         return conds
 
-    pl = postings.withColumn("term_l", F.lower(F.col("term")))
-    # term filter pushed to the scan; df/idf over the filtered subset only
+    # One term-IN filter over the postings, evaluated ONCE and persisted:
+    # the plan references the matched subset three times (tf/df agg, idf
+    # join, exclude anti-join); without the persist each branch would
+    # re-run the upstream index build.  The subset is tiny by construction
+    # (<= query_terms x docs rows), so this is safe at any corpus size --
+    # against a materialized postings table the IN-list additionally pushes
+    # into the scan.
+    all_terms = sorted(
+        {t for _f, t in q.includes} | {t for _f, t in q.excludes}
+    )
+    pl = (
+        postings.withColumn("term_l", F.lower(F.col("term")))
+        .filter(F.col("term_l").isin(all_terms))
+        .persist()
+    )
     inc = pl.filter(match(q.includes))
     sc = tfidf_scores(inc, n_docs=n_docs).withColumn(
         "term_l", F.lower(F.col("term"))
