@@ -70,38 +70,43 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: one input row -> one output row with nested
     segments.  All heavy work is numpy inside the batch (SURVEY.md
     section 2.9)."""
+    cols = [f.name for f in EXTRACTION_SCHEMA.fields]
     for pdf in batches:
-        out_rows = []
-        for conv_id, turn_idx, text in zip(
-            pdf["conv_id"].values, pdf["turn_idx"].values, pdf["text"].values
-        ):
+        segments_c, etext_c, nseg_c, ntab_c, nin_c, nout_c = (
+            [], [], [], [], [], [],
+        )
+        for text in pdf["text"].values:
             segs = extract_turn(text if isinstance(text, str) else "")
-            seg_structs = [
-                {
-                    "cindex": i,
-                    "type": s["type"],
-                    "content": s["content"],
-                    "rows": s["rows"],
-                    "box": s["box"],
-                }
-                for i, s in enumerate(segs)
-            ]
-            etext = extracted_text(segs)
-            out_rows.append(
-                {
-                    "conv_id": conv_id,
-                    "turn_idx": int(turn_idx),
-                    "segments": seg_structs,
-                    "extracted_text": etext,
-                    "n_segments": len(segs),
-                    "n_tables": sum(1 for s in segs if s["type"] == "table"),
-                    "n_chars_in": len(text) if isinstance(text, str) else 0,
-                    "n_chars_out": len(etext),
-                }
+            segments_c.append(
+                [
+                    {
+                        "cindex": i,
+                        "type": s["type"],
+                        "content": s["content"],
+                        "rows": s["rows"],
+                        "box": s["box"],
+                    }
+                    for i, s in enumerate(segs)
+                ]
             )
+            etext = extracted_text(segs)
+            etext_c.append(etext)
+            nseg_c.append(len(segs))
+            ntab_c.append(sum(1 for s in segs if s["type"] == "table"))
+            nin_c.append(len(text) if isinstance(text, str) else 0)
+            nout_c.append(len(etext))
         yield pd.DataFrame(
-            out_rows,
-            columns=[f.name for f in EXTRACTION_SCHEMA.fields],
+            {
+                "conv_id": pdf["conv_id"].values,
+                "turn_idx": pdf["turn_idx"].astype("int32").values,
+                "segments": segments_c,
+                "extracted_text": etext_c,
+                "n_segments": nseg_c,
+                "n_tables": ntab_c,
+                "n_chars_in": nin_c,
+                "n_chars_out": nout_c,
+            },
+            columns=cols,
         )
 
 
