@@ -135,18 +135,33 @@ class Tokens:
 
 
 def tokenize_lines(lines: list[str]) -> Tokens:
-    """Whitespace tokens with (line, char) boxes, reading order."""
+    """Whitespace tokens with (line, char) boxes, reading order.
+
+    One regex pass over the joined text (\\S+ never crosses a newline);
+    line index and in-line char offsets are recovered vectorized from the
+    cumulative line-start offsets."""
+    text = "\n".join(lines)
     texts: list[str] = []
-    boxes: list[tuple] = []
-    for li, line in enumerate(lines):
-        if not line:
-            continue
-        y0, y1 = G.v_start(li), G.v_end(li)
-        for m in _TOKEN_RE.finditer(line):
-            texts.append(m.group(0))
-            boxes.append((y0, m.start(), y1, m.end()))
-    arr = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
-    return Tokens(texts, arr)
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in _TOKEN_RE.finditer(text):
+        texts.append(m.group(0))
+        starts.append(m.start())
+        ends.append(m.end())
+    if not texts:
+        return Tokens([], np.empty((0, 4), dtype=np.float64))
+    s = np.asarray(starts, dtype=np.int64)
+    e = np.asarray(ends, dtype=np.int64)
+    line_off = np.zeros(len(lines) + 1, dtype=np.int64)
+    np.cumsum([len(ln) + 1 for ln in lines], out=line_off[1:])
+    li = np.searchsorted(line_off, s, side="right") - 1
+    off = line_off[li]
+    boxes = np.empty((len(texts), 4), dtype=np.float64)
+    boxes[:, 0] = li * G.V_UNIT               # v_start(line)
+    boxes[:, 1] = s - off
+    boxes[:, 2] = li * G.V_UNIT + G.LINE_H    # v_end(line)
+    boxes[:, 3] = e - off
+    return Tokens(texts, boxes)
 
 
 def collect_tables(pseg_results: dict, tokens: Tokens) -> list[dict]:

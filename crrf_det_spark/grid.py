@@ -417,8 +417,7 @@ def row_hspacings_from_rows(
     line_idx = [r0 // V_UNIT for (r0, _r1) in rows]
     out = crop[line_idx].copy()
     _eliminate_narrow_spacing_rows(out)
-    for ri in range(out.shape[0]):
-        _merge_bullets(out[ri])
+    _merge_bullets_matrix(out)
     return out
 
 
@@ -457,6 +456,46 @@ def _merge_bullets(sp: np.ndarray) -> None:
                 sp[merge_start:i] = 0
             c_len += 1
             merge_start = -1
+
+
+def _merge_bullets_matrix(m: np.ndarray) -> None:
+    """Vectorized ``_merge_bullets`` over every row of the hspacings matrix
+    at once.  Equivalent because each fold decision depends only on the
+    run lengths of the UNMODIFIED row (a fold rewrites a spacing run the
+    sweep has already passed, so later decisions never read it), so all
+    candidate runs can be found in one diff pass and folded together:
+    fold a spacing run when the content run before it is short
+    (0 < len <= BULLET_MAX_CONTENT, a bullet glyph), the run starts and
+    ends inside the left quarter, and it is narrower than
+    BULLET_MAX_MERGE."""
+    n_rows, width = m.shape
+    quarter = width // 4
+    maxi = max(quarter, 1)
+    padded = np.zeros((n_rows, width + 2), dtype=np.int8)
+    padded[:, 1:-1] = m
+    d = np.diff(padded, axis=1)
+    sr, sc = np.where(d == 1)      # spacing-run starts (row, col)
+    _er, ec = np.where(d == -1)    # spacing-run ends (exclusive)
+    if not len(sr):
+        return
+    # content-run length immediately before each spacing run: distance to
+    # the previous spacing run's end in the same row (or to col 0)
+    prev_ec = np.empty_like(ec)
+    prev_ec[0] = 0
+    prev_ec[1:] = ec[:-1]
+    same_row = np.empty(len(sr), dtype=bool)
+    same_row[0] = False
+    same_row[1:] = sr[1:] == sr[:-1]
+    clen = sc - np.where(same_row, prev_ec, 0)
+    fold = (
+        (clen > 0)
+        & (clen <= BULLET_MAX_CONTENT)
+        & (sc < maxi)
+        & (ec < maxi)
+        & (ec - sc < BULLET_MAX_MERGE)
+    )
+    for r, c0, c1 in zip(sr[fold], sc[fold], ec[fold]):
+        m[r, c0:c1] = 0
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,17 @@ class TestColumns:
 
 # stage 02: row groups (ref test_row_groups_from_columns, test_pseg.py:78-121)
 class TestRowGroups:
+    def test_vectorized_bullet_merge_matches_scalar(self):
+        rng = np.random.default_rng(23)
+        for w in (1, 2, 3, 7, 16, 40, 120):
+            m = (rng.random((48, w)) < 0.45).astype(np.uint8)
+            scalar = m.copy()
+            for ri in range(scalar.shape[0]):
+                G._merge_bullets(scalar[ri])
+            vec = m.copy()
+            G._merge_bullets_matrix(vec)
+            assert np.array_equal(scalar, vec), w
+
     def test_vectorized_row_patterns_match_scalar(self):
         rng = np.random.default_rng(11)
         for w in (1, 2, 3, 4, 5, 9, 40):
