@@ -1,0 +1,94 @@
+"""Catalyst physical-plan audits (PLANS.md, executable form).
+
+These tests pin the plan properties that matter at 100TB: predicate
+pushdown into the parquet scan, column pruning, broadcast join strategy
+for small dims, top-k without a full sort shuffle, the extraction
+pipeline's single explicit-count exchange, and the absence of cartesian
+products in any driver-contract query.
+"""
+
+import contextlib
+import io
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_a1_filter_pushed_and_columns_pruned(spark, queries):
+    plan = plan_of(queries["a1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # lineitem has 16 columns; the scan must read only the 7 used
+    read_schema = next(
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    )
+    n_cols = read_schema.count(":")
+    assert n_cols <= 8, read_schema
+
+
+def test_a9_broadcasts_dims(spark, queries):
+    plan = plan_of(queries["a9_revenue_by_nation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j4_broadcast_lookup(spark, queries):
+    plan = plan_of(queries["j4_broadcast_lookup"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_u3_anti_join_is_broadcast(spark, queries):
+    plan = plan_of(queries["u3_anti_join"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_o5_topk_avoids_full_sort_shuffle(spark, queries):
+    plan = plan_of(queries["o5_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_aggregations_are_partial_final(spark, queries):
+    # map-side combine: every groupBy agg shows partial_* then final
+    plan = plan_of(queries["a1_pricing_summary"](spark, SF))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_extraction_single_explicit_exchange(spark):
+    from pyspark.sql import functions as F
+
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hello world")], "conv_id string, turn_idx int, text string"
+    )
+    plan = plan_of(extract_transcripts(df, num_partitions=8), mode="simple")
+    # exactly one shuffle, with the explicit (non-AQE-coalescible) count
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "REPARTITION_BY_NUM" in plan
+    assert "MapInPandas" in plan
+
+
+def test_no_cartesian_products_in_contract_queries(spark, queries):
+    # j1 is a theta join (BroadcastNestedLoopJoin over a 5-row side) --
+    # broadcast-nested-loop is the right physical strategy there, but a
+    # CartesianProduct (both sides shuffled) must never appear anywhere.
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF), mode="simple")
+        assert "CartesianProduct" not in plan, name
