@@ -313,8 +313,13 @@ def row_groups_from_column(
     if not all_rows:
         return [], row_vspacings
 
-    row_groups: list[list[list[int]]] = []
-    rows: list[list[int]] = []
+    # the sweep runs bottom-up, so rows/groups are accumulated in
+    # DESCENDING order with O(1) appends (cur[-1] = row processed last,
+    # physically lowest-index-so-far) and reversed once at the end --
+    # a front-insert here would make one big group O(n^2) and stall on
+    # degenerate 50k-line turns
+    groups_desc: list[list[list[int]]] = []
+    cur: list[list[int]] = []
     rows_spacings = 0
     last_spacing = 0
     last_row_height = 0
@@ -322,11 +327,11 @@ def row_groups_from_column(
     for i in reversed(range(len(all_rows))):
         r_start, r_end = all_rows[i]
         row_patterns[all_patterns[i]] = True
-        if not rows:
-            rows.insert(0, [r_start, r_end])
+        if not cur:
+            cur.append([r_start, r_end])
             last_spacing = 0
         else:
-            spacing = rows[0][0] - r_end
+            spacing = cur[-1][0] - r_end
             height = r_end - r_start
             if (
                 # hierarchical outer-row merge (pseg.py:508-516, ref >=5px);
@@ -334,27 +339,27 @@ def row_groups_from_column(
                 # text line (which in text space is always a block boundary)
                 2 <= spacing < MIN_BLOCK_SPLIT
                 and spacing >= last_spacing
-                and len(rows) == 1
-                and row_groups
-                and row_groups[0][0][1] - row_groups[0][0][0]
+                and len(cur) == 1
+                and groups_desc
+                and groups_desc[-1][-1][1] - groups_desc[-1][-1][0]
                 < MIN_SINGLE_ROW_GROUP_HEIGHT
                 and last_row_height < MIN_SINGLE_ROW_GROUP_HEIGHT
             ):
                 # outer-level content row belongs to the group just formed
                 # (pseg.py:508-516)
-                row_groups[0].insert(0, rows[0])
+                groups_desc[-1].append(cur[-1])
                 rows_spacings = 0
-                rows = []
+                cur = []
             elif (
                 spacing >= MIN_SPACING_HARD_SPLIT
                 or spacing >= MIN_BLOCK_SPLIT  # text-space block rule
                 or (
-                    len(rows) >= 1
-                    and rows[0][1] - rows[0][0] >= MIN_SINGLE_ROW_GROUP_HEIGHT
+                    len(cur) >= 1
+                    and cur[-1][1] - cur[-1][0] >= MIN_SINGLE_ROW_GROUP_HEIGHT
                     and spacing > 1
                 )
                 or (
-                    len(rows) >= 2
+                    len(cur) >= 2
                     and row_patterns[0]
                     and row_patterns[1]
                     and row_patterns[2]
@@ -362,18 +367,18 @@ def row_groups_from_column(
                     and all_patterns[i] == 1
                 )
                 or (
-                    len(rows) >= 2
+                    len(cur) >= 2
                     and row_patterns[0]
                     and row_patterns[1]
                     and all_patterns[i + 1] == 0
                     and all_patterns[i] == 1
                     and spacing
-                    > rows_spacings / (len(rows) - 1) * MIN_SPACING_MULTIPLE
+                    > rows_spacings / (len(cur) - 1) * MIN_SPACING_MULTIPLE
                 )
                 or (
-                    len(rows) >= 2
+                    len(cur) >= 2
                     and spacing
-                    > rows_spacings / (len(rows) - 1) * MIN_SPACING_MULTIPLE
+                    > rows_spacings / (len(cur) - 1) * MIN_SPACING_MULTIPLE
                     and spacing > MIN_SPACING_SOFT_SPLIT
                 )
                 or (
@@ -385,18 +390,21 @@ def row_groups_from_column(
                     )
                 )
             ):
-                row_groups.insert(0, rows)
+                groups_desc.append(cur)
                 row_patterns = [False, False, False, False]
                 rows_spacings = 0
-                rows = []
+                cur = []
             else:
                 rows_spacings += spacing
-            rows.insert(0, [r_start, r_end])
+            cur.append([r_start, r_end])
             last_spacing = spacing
             last_row_height = r_end - r_start
-    if rows:
-        row_groups.insert(0, rows)
-    return row_groups, row_vspacings
+    if cur:
+        groups_desc.append(cur)
+    for g in groups_desc:
+        g.reverse()
+    groups_desc.reverse()
+    return groups_desc, row_vspacings
 
 
 # ---------------------------------------------------------------------------
@@ -562,26 +570,77 @@ def group_adjacent_lines(lines: list) -> list[Rect]:
 
 def remove_smaller_adjacent_rectangles(rects: list[Rect]) -> list[Rect]:
     """Drop rects horizontally touching a taller-or-equal neighbour
-    (pseg.py:817-844)."""
-    adjacent: dict[Rect, list[Rect]] = {}
-    for key in rects:
-        touched = []
-        for rect in rects:
-            if rect == key:
-                continue
-            if (
-                (key[1][0] + 1 == rect[0][0] or key[0][0] == rect[1][0] + 1)
-                and min(key[1][1], rect[1][1]) - max(key[0][1], rect[0][1]) > 0
-                and rect[1][1] - rect[0][1] <= key[1][1] - key[0][1]
+    (pseg.py:817-844).
+
+    The touch predicate needs exact x-adjacency (key.x1 + 1 == rect.x0 or
+    key.x0 == rect.x1 + 1), so pairs are enumerated per x-boundary with
+    numpy broadcasting instead of the reference's all-pairs Python scan --
+    same pair set (a rect can never be value-equal to its cross-boundary
+    key, so the reference's rect == key skip is vacuous here), but
+    O(sum of boundary-bucket products) in C, which matters for degenerate
+    multi-thousand-rect groups."""
+    n = len(rects)
+    if n < 2:
+        return list(rects)
+    if n <= 48:
+        # typical pages have a handful of rects; the plain pair scan beats
+        # numpy setup overhead there
+        removed_l = [False] * n
+        for key in rects:
+            kh = key[1][1] - key[0][1]
+            for j, rect in enumerate(rects):
+                if rect == key:
+                    continue
+                if (
+                    (key[1][0] + 1 == rect[0][0]
+                     or key[0][0] == rect[1][0] + 1)
+                    and min(key[1][1], rect[1][1])
+                    - max(key[0][1], rect[0][1]) > 0
+                    and rect[1][1] - rect[0][1] <= kh
+                ):
+                    removed_l[j] = True
+        return [r for r, dead in zip(rects, removed_l) if not dead]
+    # large groups: bucket candidate pairs by (x-boundary, y-band).  A
+    # touching pair must share an x-boundary AND y-overlap, hence share at
+    # least one y-band; repeated pair visits across bands are harmless
+    # (the kill mark is idempotent).  Near-linear when rects are short
+    # (the degenerate many-rect case), exact always.
+    from collections import defaultdict
+
+    band_h = 64
+    removed = [False] * n
+    right_at: dict[int, list[int]] = defaultdict(list)  # boundary x0 = b
+    left_at: dict[int, list[int]] = defaultdict(list)   # boundary x1+1 = b
+    for j, r in enumerate(rects):
+        right_at[r[0][0]].append(j)
+        left_at[r[1][0] + 1].append(j)
+    for b, ri_list in right_at.items():
+        li_list = left_at.get(b)
+        if not li_list:
+            continue
+        bands_l: dict[int, list[int]] = defaultdict(list)
+        for i in li_list:
+            for band in range(
+                rects[i][0][1] // band_h, rects[i][1][1] // band_h + 1
             ):
-                touched.append(rect)
-        adjacent[key] = touched
-    out = list(rects)
-    for touched in adjacent.values():
-        for rect in touched:
-            if rect in out:
-                out.remove(rect)
-    return out
+                bands_l[band].append(i)
+        for j in ri_list:
+            (_xj0, yj0), (_xj1, yj1) = rects[j]
+            hj = yj1 - yj0
+            seen: set[int] = set()
+            for band in range(yj0 // band_h, yj1 // band_h + 1):
+                for i in bands_l.get(band, ()):
+                    if i in seen:
+                        continue
+                    seen.add(i)
+                    (_xi0, yi0), (_xi1, yi1) = rects[i]
+                    if min(yi1, yj1) - max(yi0, yj0) > 0:
+                        hi = yi1 - yi0
+                        if hj <= hi:
+                            removed[j] = True
+                        if hi <= hj:
+                            removed[i] = True
+    return [r for r, dead in zip(rects, removed) if not dead]
 
 
 def remove_edge_rectangles(rects: list[Rect], row_hspacings: np.ndarray) -> list[Rect]:

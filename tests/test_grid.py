@@ -56,6 +56,44 @@ class TestColumns:
 
 # stage 02: row groups (ref test_row_groups_from_columns, test_pseg.py:78-121)
 class TestRowGroups:
+    def test_adjacent_rect_removal_matches_naive(self):
+        # reference semantics: all-pairs scan, key kills every touching
+        # shorter-or-equal neighbour (pseg.py:817-844)
+        def naive(rects):
+            out = list(rects)
+            for key in rects:
+                for rect in rects:
+                    if rect == key:
+                        continue
+                    if (
+                        (key[1][0] + 1 == rect[0][0]
+                         or key[0][0] == rect[1][0] + 1)
+                        and min(key[1][1], rect[1][1])
+                        - max(key[0][1], rect[0][1]) > 0
+                        and rect[1][1] - rect[0][1] <= key[1][1] - key[0][1]
+                    ):
+                        if rect in out:
+                            out.remove(rect)
+            return out
+
+        rng = np.random.default_rng(31)
+        # small trials exercise the plain-scan path, large ones (>48) the
+        # banded path, with y ranges spanning multiple 64-row bands
+        for trial in range(80):
+            n = int(rng.integers(0, 25)) if trial < 50 else int(
+                rng.integers(49, 140)
+            )
+            rects = []
+            for _ in range(n):
+                x = int(rng.integers(0, 8))
+                w = int(rng.integers(0, 3))
+                ya = int(rng.integers(0, 200))
+                yb = ya + int(rng.integers(1, 90))
+                rects.append(((x, ya), (x + w, yb)))
+            assert G.remove_smaller_adjacent_rectangles(rects) == naive(
+                rects
+            ), rects
+
     def test_vectorized_bullet_merge_matches_scalar(self):
         rng = np.random.default_rng(23)
         for w in (1, 2, 3, 7, 16, 40, 120):

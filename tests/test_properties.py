@@ -88,6 +88,27 @@ def test_batched_join_equals_sequential(text, boxes):
     assert list(seq_tokens.used) == list(batch_tokens.used)
 
 
+def test_giant_turn_stays_linear_and_conserves_tokens():
+    """Degenerate heavy-tail turn (20k lines of word soup): the kernel
+    must stay near-linear (the O(rects^2) adjacency scan and O(rows^2)
+    group building were both fixed to banded/appended forms) and conserve
+    every token."""
+    import random
+    import time
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    text = "\n".join(
+        " ".join(rng.choices(words, k=10)) for _ in range(20_000)
+    )
+    t0 = time.time()
+    segs = extract_turn(text)
+    elapsed = time.time() - t0
+    assert _output_tokens(segs) == _expected_tokens(text)
+    # pre-fix this took >30s; generous bound so slow CI boxes still pass
+    assert elapsed < 15, f"giant turn took {elapsed:.1f}s"
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.text(max_size=400))
 def test_never_crashes_on_arbitrary_text(text):
