@@ -2,11 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 decode / feature-extract / resize / frame-sample kernels run as Arrow-batched
-mapInPandas stages.  The decode libraries are not available in this
-container, so the decoders are STUBS: ``decode_image`` raises
-NotImplementedError unless ``fake=True``, in which case a deterministic fake
-decoder (seeded from the payload hash) exercises the full Spark plumbing --
-schema, partitioning, UDF signature, batch shapes -- end to end.
+mapInPandas stages.  Uncompressed netpbm payloads (PGM ``P5`` gray, PPM
+``P6`` rgb) are decoded for REAL in pure numpy -- no external library.
+Compressed formats (jpeg/png/...) need codec libraries not present in this
+container, so those are STUBS: ``decode_image`` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder (seeded
+from the payload hash) exercises the full Spark plumbing -- schema,
+partitioning, UDF signature, batch shapes -- end to end.
 """
 
 from __future__ import annotations
@@ -50,11 +52,54 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
     return rng.randint(0, 256, size=(height or 8, width or 8), dtype=np.uint8)
 
 
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Pure-numpy netpbm decode: P5 (8/16-bit gray) and P6 (8/16-bit rgb),
+    with comment handling per the spec.  Returns uint8 grayscale (rgb is
+    reduced by channel mean)."""
+    pos = 0
+
+    def token() -> bytes:
+        nonlocal pos
+        while pos < len(payload):
+            c = payload[pos]
+            if c in b" \t\r\n":
+                pos += 1
+            elif c == ord("#"):
+                while pos < len(payload) and payload[pos] != ord("\n"):
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        return payload[start:pos]
+
+    magic = token()
+    w, h, maxval = int(token()), int(token()), int(token())
+    pos += 1  # exactly one whitespace byte after maxval, then raster
+    channels = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = w * h * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    img = raster.reshape(h, w, channels).astype(np.float64)
+    if maxval != 255:
+        img = img * (255.0 / maxval)
+    return img.mean(axis=2).astype(np.uint8)
+
+
 def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
+    """binary payload -> uint8 grayscale array.
+
+    Netpbm (P5/P6) payloads decode for real; anything else needs a codec
+    library this container lacks -- raise unless the caller opts into the
+    deterministic fake decoder."""
+    if payload and payload[:2] in (b"P5", b"P6"):
+        return _parse_pnm(payload)
     if not fake:
         raise NotImplementedError(
-            "real image decode requires an image library not present in "
-            "this container; pass fake=True for the deterministic stub"
+            "real decode implemented for netpbm P5/P6 only; other formats "
+            "require an image library not present in this container -- "
+            "pass fake=True for the deterministic stub"
         )
     return _fake_decode(payload, meta["width"] if meta else 8, meta["height"] if meta else 8)
 

@@ -180,6 +180,47 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image(b"x", {"width": 4, "height": 4}, fake=False)
 
+    def test_real_pnm_decode(self):
+        import numpy as np
+
+        from crrf_det_spark.ops.multimodal import decode_image
+
+        # P5 grayscale roundtrip (with a header comment)
+        img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+        p5 = b"P5\n# comment\n8 6\n255\n" + img.tobytes()
+        got = decode_image(p5, None, fake=False)
+        assert np.array_equal(got, img)
+        # P6 rgb -> channel-mean grayscale
+        rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+        rgb[..., 0] = 30
+        rgb[..., 1] = 60
+        rgb[..., 2] = 90
+        p6 = b"P6\n2 2\n255\n" + rgb.tobytes()
+        got = decode_image(p6, None, fake=False)
+        assert got.shape == (2, 2) and int(got[0, 0]) == 60
+        # 16-bit maxval scales to 0..255
+        img16 = (np.arange(4, dtype=">u2") * 16384).reshape(2, 2)
+        p5_16 = b"P5\n2 2\n65535\n" + img16.tobytes()
+        got = decode_image(p5_16, None, fake=False)
+        assert got.dtype == np.uint8 and got[0, 0] == 0
+
+    def test_real_decode_through_spark_features(self, spark):
+        import numpy as np
+
+        from crrf_det_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            extract_features,
+        )
+
+        flat = np.full((8, 8), 128, dtype=np.uint8)
+        p5 = b"P5\n8 8\n255\n" + flat.tobytes()
+        df = spark.createDataFrame(
+            [(1, "image", "image/x-portable-graymap", p5, (8, 8, None, None))],
+            MEDIA_SCHEMA,
+        )
+        (row,) = extract_features(df, resize_to=(2, 2), fake=False).collect()
+        assert all(abs(v - 128 / 255) < 1e-6 for v in row.feature)
+
     def test_feature_plumbing(self, spark):
         from crrf_det_spark.ops.multimodal import (
             MEDIA_SCHEMA,
