@@ -104,6 +104,100 @@ def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
     return _fake_decode(payload, meta["width"] if meta else 8, meta["height"] if meta else 8)
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy PCM WAV decode -> (mono float32 samples in [-1, 1],
+    sample_rate).  Handles 8/16/32-bit integer PCM (format 1) and 32-bit
+    float PCM (format 3), multi-channel reduced by mean.  Compressed
+    codecs raise NotImplementedError."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos: pos + 4]
+        size = int.from_bytes(payload[pos + 4: pos + 8], "little")
+        body = payload[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format == 1 and bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        x = (x - 128.0) / 128.0
+    elif audio_format == 1 and bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif audio_format == 1 and bits == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float32)
+    else:
+        raise NotImplementedError(
+            f"WAV format {audio_format}/{bits}-bit needs a codec library"
+        )
+    if n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x, sample_rate
+
+
+def audio_features(media: DataFrame, n_bands: int = 16) -> DataFrame:
+    """audio rows -> (media_id, sample_rate, n_samples, rms, feature) where
+    feature is the per-band RMS envelope over n_bands equal time slices --
+    a real vectorized kernel over really-decoded WAV payloads."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "rms": [], "feature": [],
+            }
+            for mid, kind, payload in zip(
+                pdf["media_id"].values, pdf["kind"].values,
+                pdf["payload"].values,
+            ):
+                if kind != "audio" or payload is None:
+                    continue
+                x, rate = decode_audio(bytes(payload))
+                edges = (np.arange(n_bands + 1) * len(x) // n_bands).astype(
+                    int
+                )
+                bands = [
+                    float(np.sqrt(np.mean(np.square(
+                        x[edges[i]: max(edges[i + 1], edges[i] + 1)]
+                    )))) if len(x) else 0.0
+                    for i in range(n_bands)
+                ]
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(x))
+                out["rms"].append(
+                    float(np.sqrt(np.mean(np.square(x)))) if len(x) else 0.0
+                )
+                out["feature"].append(bands)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "rms", "feature",
+                ],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches,
+        schema=(
+            "media_id long, sample_rate int, n_samples long, rms double, "
+            "feature array<double>"
+        ),
+    )
+
+
 def extract_features(
     media: DataFrame,
     resize_to: tuple[int, int] = (8, 8),

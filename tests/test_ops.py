@@ -204,6 +204,49 @@ class TestMultimodal:
         got = decode_image(p5_16, None, fake=False)
         assert got.dtype == np.uint8 and got[0, 0] == 0
 
+    def test_real_wav_decode_and_features(self, spark):
+        import struct
+
+        import numpy as np
+
+        from crrf_det_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            audio_features,
+            decode_audio,
+        )
+
+        def wav_pcm16(samples: np.ndarray, rate: int, channels: int = 1):
+            data = (samples * 32767).astype("<i2").tobytes()
+            hdr = struct.pack(
+                "<4sI4s4sIHHIIHH4sI",
+                b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+                1, channels, rate, rate * channels * 2, channels * 2, 16,
+                b"data", len(data),
+            )
+            return hdr + data
+
+        t = np.arange(800) / 8000.0
+        mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        x, rate = decode_audio(wav_pcm16(mono, 8000))
+        assert rate == 8000 and len(x) == 800
+        assert abs(float(np.sqrt(np.mean(x ** 2))) - 0.5 / np.sqrt(2)) < 0.01
+        # stereo reduces by channel mean
+        stereo = np.repeat(mono, 2)
+        x2, _ = decode_audio(wav_pcm16(stereo, 8000, channels=2))
+        assert len(x2) == 800 and np.allclose(x2, x, atol=1e-4)
+        # through Spark
+        df = spark.createDataFrame(
+            [(7, "audio", "audio/wav", wav_pcm16(mono, 8000),
+              (None, None, 100, None))],
+            MEDIA_SCHEMA,
+        )
+        (row,) = audio_features(df, n_bands=4).collect()
+        assert row.sample_rate == 8000 and row.n_samples == 800
+        assert len(row.feature) == 4 and abs(row.rms - 0.3535) < 0.01
+        # compressed codec raises
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"RIFF" + b"\0" * 100)
+
     def test_real_decode_through_spark_features(self, spark):
         import numpy as np
 
