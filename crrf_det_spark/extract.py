@@ -22,6 +22,7 @@ import re
 import numpy as np
 
 from . import grid as G
+from .htmlx import html_segments, looks_like_html
 
 _TOKEN_RE = re.compile(r"\S+")
 
@@ -289,6 +290,17 @@ def extract_turn(text: str) -> list[dict]:
                 }
             )
     return out
+
+
+def extract_turn_auto(text: str) -> list[dict]:
+    """Payload-aware dispatch: HTML turns go through the DOM main-content
+    extractor (structural boilerplate + link-density heuristics,
+    htmlx.py); everything else through the text-grid kernel.  Both emit
+    the same segment schema, so downstream cindex/ordering semantics are
+    identical."""
+    if text and looks_like_html(text):
+        return html_segments(text)
+    return extract_turn(text)
 
 
 def extracted_text(segments: list[dict]) -> str:

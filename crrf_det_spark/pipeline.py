@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .extract import extract_turn, extracted_text
+from .extract import extract_turn_auto, extracted_text
 from .schema import EXTRACTION_SCHEMA
 
 _EXTRACTION_WITH_BUCKET = T.StructType(
@@ -76,7 +76,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             [], [], [], [], [], [],
         )
         for text in pdf["text"].values:
-            segs = extract_turn(text if isinstance(text, str) else "")
+            segs = extract_turn_auto(text if isinstance(text, str) else "")
             segments_c.append(
                 [
                     {
@@ -146,6 +146,52 @@ def extract_transcripts(
     else:
         out = out.sortWithinPartitions("conv_id", "turn_idx")
     return out
+
+
+def extract_payload_turns(
+    df: DataFrame, payload_col: str = "payload",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Binary-payload variant of ``extract_transcripts`` for tool-emitted
+    attachments: PDF payloads go through the pure-stdlib text extractor
+    (pdfmini) then the SAME grid kernel; utf-8 payloads dispatch through
+    the HTML/text auto path.  Undecodable payloads yield zero segments
+    (n_chars_in still recorded)."""
+    from .pdfmini import looks_like_pdf, pdf_text
+
+    def batches(it):
+        for pdf_batch in it:
+            texts = []
+            for payload in pdf_batch[payload_col].values:
+                if payload is None:
+                    texts.append("")
+                    continue
+                b = bytes(payload)
+                if looks_like_pdf(b):
+                    texts.append(pdf_text(b))
+                else:
+                    try:
+                        texts.append(b.decode("utf-8"))
+                    except UnicodeDecodeError:
+                        texts.append("")
+            inner = pd.DataFrame(
+                {
+                    "conv_id": pdf_batch["conv_id"].values,
+                    "turn_idx": pdf_batch["turn_idx"].values,
+                    "text": texts,
+                }
+            )
+            yield from _extract_batches(iter([inner]))
+
+    src = df.select("conv_id", "turn_idx", payload_col)
+    if not num_partitions:
+        num_partitions = df.sparkSession.sparkContext.defaultParallelism * 3
+    salt = F.pmod(F.hash("conv_id", "turn_idx"), F.lit(1 << 14)).alias("_s")
+    return (
+        src.repartition(num_partitions, F.col("conv_id"), salt)
+        .mapInPandas(batches, schema=EXTRACTION_SCHEMA)
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -159,12 +159,71 @@ def _table_block(rng: random.Random, max_cols: int = 4) -> _Block:
     return _Block(lines, "table", "\n".join("\t".join(r) for r in cells), cells)
 
 
+def _html_turn(rng: random.Random) -> tuple[str, list[dict]]:
+    """HTML turn: real markup with nav/header/footer chrome and a
+    link-dense block, goldens = the main-content blocks only, with boxes
+    matching htmlx.html_segments' synthesized v-unit bands."""
+    content_blocks: list[_Block] = [_prose_block(rng)]
+    if rng.random() < 0.5:
+        content_blocks.append(_table_block(rng))
+    if rng.random() < 0.6:
+        content_blocks.append(_prose_block(rng, numeric=rng.random() < 0.4))
+
+    nav_links = " ".join(
+        f'<a href="/{w}">{w}</a>' for w in rng.sample(WORDS, 3)
+    )
+    parts = [
+        "<!DOCTYPE html><html><head><title>export</title>",
+        "<style>.m{color:#222}</style><script>var t=1;</script></head>",
+        f"<body><nav>{nav_links}</nav>",
+        f"<header>{rng.choice(HEADERS[:2])}</header>",
+        # link-dense short div outside <nav>: culled by link density
+        f'<div><a href="/a">{rng.choice(WORDS)}</a> '
+        f'<a href="/b">{rng.choice(WORDS)}</a></div>',
+        "<article>",
+    ]
+    golden: list[dict] = []
+    v = 0
+    for blk in content_blocks:
+        if blk.kind == "table":
+            cells = blk.rows
+            rows_html = "".join(
+                "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>"
+                for row in cells
+            )
+            parts.append(f"<table>{rows_html}</table>")
+            golden.append(
+                {
+                    "type": "table",
+                    "content": blk.content,
+                    "rows": cells,
+                    "box": [v, 0, v + LINE_H, max(len(blk.content), 1)],
+                }
+            )
+        else:
+            parts.append(f"<p>{blk.content}</p>")
+            golden.append(
+                {
+                    "type": "text",
+                    "content": blk.content,
+                    "rows": None,
+                    "box": [v, 0, v + LINE_H, len(blk.content)],
+                }
+            )
+        v += V_UNIT
+    parts.append("</article><footer>generated export footer</footer>")
+    parts.append("</body></html>")
+    return "\n".join(parts), golden
+
+
 def _compose_turn(rng: random.Random) -> tuple[str, list[dict]]:
     """Build one turn's text and its golden segments (reading order)."""
     cls = rng.choices(
-        ["prose", "table", "mixed", "numeric", "twocol"],
-        weights=[0.34, 0.18, 0.22, 0.16, 0.10],
+        ["prose", "table", "mixed", "numeric", "twocol", "html"],
+        weights=[0.30, 0.16, 0.20, 0.14, 0.08, 0.12],
     )[0]
+    if cls == "html":
+        return _html_turn(rng)
 
     blocks: list[_Block] = []
     if cls == "prose":

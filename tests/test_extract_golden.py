@@ -8,7 +8,7 @@ from collections import defaultdict
 import pytest
 
 from crrf_det_spark import synth
-from crrf_det_spark.extract import extract_turn, extracted_text
+from crrf_det_spark.extract import extract_turn_auto, extracted_text
 
 
 def _check_corpus(n_convs, seed, skew_convs=0):
@@ -20,7 +20,7 @@ def _check_corpus(n_convs, seed, skew_convs=0):
         gold_by_turn[(g["conv_id"], g["turn_idx"])].append(g)
     for t in transcripts:
         key = (t["conv_id"], t["turn_idx"])
-        segs = extract_turn(t["text"])
+        segs = extract_turn_auto(t["text"])
         gold = sorted(gold_by_turn[key], key=lambda g: g["cindex"])
         got = [(s["type"], s["content"], s["rows"], s["box"]) for s in segs]
         want = [(g["type"], g["content"], g["rows"], g["box"]) for g in gold]

@@ -95,3 +95,34 @@ def test_salting_bounds_partition_size(spark):
     )
     assert len(sizes) > 1, "salting failed: one conversation in one partition"
     assert max(r["count"] for r in sizes) < len(rows)
+
+
+def test_payload_turns_pdf_and_html(spark):
+    from crrf_det_spark.pdfmini import make_pdf
+    from crrf_det_spark.pipeline import extract_payload_turns
+
+    pdf = make_pdf([
+        "Account      Q1      Q2",
+        "Revenue      100     200",
+        "",
+        "Totals are preliminary and unaudited, pending further review.",
+    ])
+    html = (b"<!DOCTYPE html><html><body><nav><a href='/'>x</a></nav>"
+            b"<article><p>real content paragraph</p></article>"
+            b"<footer>f</footer></body></html>")
+    rows = [("c1", 0, bytearray(pdf)), ("c1", 1, bytearray(html)),
+            ("c2", 0, bytearray(b"plain text payload")),
+            ("c2", 1, bytearray(b"\xff\xfe\x00broken")), ("c2", 2, None)]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, payload binary"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in extract_payload_turns(df, num_partitions=4).collect()
+    }
+    assert out[("c1", 0)].n_tables == 1
+    assert "Revenue" in out[("c1", 0)].extracted_text
+    assert out[("c1", 1)].extracted_text == "real content paragraph"
+    assert out[("c2", 0)].extracted_text == "plain text payload"
+    assert out[("c2", 1)].n_segments == 0
+    assert out[("c2", 2)].n_segments == 0
