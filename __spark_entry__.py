@@ -867,6 +867,42 @@ def _q_extraction_segments(spark, sf):
     )
 
 
+def _q_extraction_html(spark, sf):
+    # HTML main-content path (DOM boilerplate strip; not SQL-expressible):
+    # wrap each document in deterministic HTML chrome Spark-side, extract,
+    # and report per-doc segment stats
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    d = _t(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><body>"
+            "<nav><a href='/a'>a</a> <a href='/b'>b</a></nav>"
+            "<header>site chrome</header><article><p>"
+        ),
+        F.col("text"),
+        F.lit("</p></article><footer>footer chrome</footer></body></html>"),
+    )
+    src = d.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        html.alias("text"),
+    )
+    return extract_transcripts(src, order=True).select(
+        "conv_id", "turn_idx", "n_segments", "n_chars_out"
+    )
+
+
+# the chrome subtrees are dropped and the single <p> becomes one text
+# segment whose content equals the document text (corpus has no entities
+# or runs of whitespace), so the DOM path IS value-checkable:
+_O_EXTRACTION_HTML = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+       1 AS n_segments, length(text) AS n_chars_out
+FROM documents ORDER BY conv_id, turn_idx
+"""
+
+
 def _q_dedup_minhash(spark, sf):
     # minhash-LSH near-dup pairs (signature permutations not SQL-expressible)
     from crrf_det_spark.ops import minhash_lsh_pairs, minhash_signatures
@@ -930,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         # rows-only (non-SQL-expressible kernels)
         "extraction_segments": _q_extraction_segments,
+        "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
         "search_tfidf_query": _q_search_tfidf_query,
     }
@@ -957,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "f8_json_parse": _O_F8,
         "f11_block_rounding": _O_F11,
         "f12_date_format": _O_F12,
+        "extraction_html": _O_EXTRACTION_HTML,
         "a7_median": _O_A7,
         "a12_label_collect": _O_A12,
         "dedup_exact": _O_DEDUP_EXACT,
