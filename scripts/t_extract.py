@@ -33,11 +33,16 @@ def main(argv: list[str]) -> int:
 
     os.makedirs(args.output, exist_ok=True)
     if not args.spark:
-        from crrf_det_spark.extract import extract_turn, extracted_text
+        from crrf_det_spark.extract import extract_turn_auto, extracted_text
+        from crrf_det_spark.pdfmini import looks_like_pdf, pdf_text
 
-        with open(args.input, encoding="utf-8") as f:
-            text = f.read()
-        segments = extract_turn(text)
+        with open(args.input, "rb") as f:
+            payload = f.read()
+        if looks_like_pdf(payload):
+            text = pdf_text(payload)  # real t-pdf parity: PDF in, JSON out
+        else:
+            text = payload.decode("utf-8", errors="replace")
+        segments = extract_turn_auto(text)
         doc = {
             "meta": {"chars": len(text), "segments": len(segments)},
             "content": [
