@@ -240,8 +240,23 @@ def run_resumable_extraction(
     )
     if done:
         src = src.filter(~F.col("bucket").isin(sorted(done)))
+    # shuffle on a bucket-dominant composite key, NOT conv_id alone: each
+    # shuffle key maps to exactly one bucket, so a write task emits files
+    # for only the buckets hashed to it -- O(n_buckets * per_bucket)
+    # files total instead of partitions x buckets tiny ones (measured
+    # 6,144 -> ~64 files on a 1M-turn corpus).  per_bucket adds
+    # intra-bucket parallelism when buckets are fewer than cores; the
+    # conv-slice salt inside it still splits skewed conversations
+    salt = F.pmod(
+        F.hash("conv_id", (F.col("turn_idx") / F.lit(SALT_TURNS)).cast("long")),
+        F.lit(1 << 14),
+    )
+    n_parts = spark.sparkContext.defaultParallelism * 3
+    per_bucket = max(1, n_parts // n_buckets)
+    write_key = F.col("bucket") * per_bucket + F.pmod(salt, F.lit(per_bucket))
     extracted = (
-        salted(src.select("conv_id", "turn_idx", "text", "bucket"))
+        src.select("conv_id", "turn_idx", "text", "bucket")
+        .repartition(n_parts, write_key)
         .mapInPandas(
             _extract_batches_with_bucket,
             schema=_EXTRACTION_WITH_BUCKET,
