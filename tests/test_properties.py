@@ -117,3 +117,31 @@ def test_never_crashes_on_arbitrary_text(text):
         assert s["type"] in ("text", "table")
         assert isinstance(s["content"], str)
         assert len(s["box"]) == 4
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=600))
+def test_pdf_parser_never_crashes(payload):
+    from crrf_det_spark.pdfmini import pdf_text_lines
+
+    for ln in pdf_text_lines(b"%PDF-1.4\n" + payload):
+        assert isinstance(ln, str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=600))
+def test_html_extractor_never_crashes(text):
+    from crrf_det_spark.htmlx import html_segments
+
+    for s in html_segments("<body>" + text + "</body>"):
+        assert s["type"] in ("text", "table")
+        assert isinstance(s["content"], str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=500))
+def test_auto_dispatch_never_crashes(text):
+    from crrf_det_spark.extract import extract_turn_auto
+
+    for s in extract_turn_auto(text):
+        assert s["type"] in ("text", "table")
