@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash",
     "ann_topk",
     "extraction_segments",
+    "extraction_html",
     "search_tfidf_query",
 ]
 
