@@ -31,7 +31,7 @@ _SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
 _BOILER_TAGS = {"nav", "header", "footer", "aside", "form"}
 _BLOCK_TAGS = {
     "p", "div", "section", "article", "main", "body", "li", "ul", "ol",
-    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre", "tr",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "tr",
     "table", "br",
 }
 _VOID_TAGS = {"br", "hr", "img", "input", "meta", "link"}
@@ -68,7 +68,10 @@ class _Extractor(HTMLParser):
         # table state: None or {'rows': [...], 'row': [...] | None,
         # 'cell': [...] | None, 'depth': int}
         self.table: dict | None = None
-        self.out: list[dict] = []  # interleaved {'kind': 'block'|'table'}
+        self.pre_depth = 0
+        self.pre_buf: list[str] = []
+        # interleaved {'kind': 'block'|'table'|'pre'}
+        self.out: list[dict] = []
 
     # -- block machinery ---------------------------------------------------
 
@@ -104,6 +107,14 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self.anchor_depth += 1
+        if tag == "pre":
+            if self.pre_depth == 0:
+                self._flush_block()
+                self.pre_buf = []
+            self.pre_depth += 1
+            return
+        if self.pre_depth:
+            return
         if tag == "table":
             if self.table is None:
                 self._flush_block()
@@ -136,6 +147,16 @@ class _Extractor(HTMLParser):
             return
         if tag == "a":
             self.anchor_depth = max(0, self.anchor_depth - 1)
+        if tag == "pre":
+            self.pre_depth = max(0, self.pre_depth - 1)
+            if self.pre_depth == 0:
+                raw = "".join(self.pre_buf)
+                if raw.strip():
+                    self.out.append({"kind": "pre", "raw": raw})
+                self.pre_buf = []
+            return
+        if self.pre_depth:
+            return
         if tag == "table" and self.table is not None:
             self.table["depth"] -= 1
             if self.table["depth"] == 0:
@@ -159,6 +180,9 @@ class _Extractor(HTMLParser):
 
     def handle_data(self, data):
         if self.skip_depth or self.boiler_depth:
+            return
+        if self.pre_depth:
+            self.pre_buf.append(data)  # whitespace preserved verbatim
             return
         self._emit_text(data)
 
@@ -196,6 +220,27 @@ def html_segments(text: str) -> list[dict]:
     segments: list[dict] = []
     v = 0
     for item in p.out:
+        if item["kind"] == "pre":
+            # monospace subtree: run the grid kernel over the verbatim
+            # text so aligned tables inside <pre> get real table
+            # detection (the reference's core strength), with boxes
+            # re-based into this document's v-space
+            from .extract import extract_turn  # lazy: avoids import cycle
+
+            inner = extract_turn(item["raw"])
+            for s in inner:
+                b = s["box"]
+                segments.append(
+                    {
+                        "type": s["type"],
+                        "content": s["content"],
+                        "rows": s["rows"],
+                        "box": [v + b[0], b[1], v + b[2], b[3]],
+                    }
+                )
+            n_lines = item["raw"].count("\n") + 1
+            v += n_lines * G.V_UNIT
+            continue
         if item["kind"] == "table":
             rows = item["rows"]
             width = max(len(r) for r in rows)

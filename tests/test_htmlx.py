@@ -95,3 +95,31 @@ def test_broken_markup_fallback_never_crashes():
 def test_br_splits_blocks():
     segs = html_segments("<body><p>line one<br>line two</p></body>")
     assert [s["content"] for s in segs] == ["line one", "line two"]
+
+
+def test_pre_block_gets_grid_table_detection():
+    html = """
+    <body><p>intro paragraph before the code block</p>
+    <pre>Account      Q1      Q2
+Revenue      100     200
+Cost         40      90
+
+Totals are preliminary and unaudited, pending further review.</pre>
+    <p>after</p></body>"""
+    segs = html_segments(html)
+    types = [s["type"] for s in segs]
+    assert "table" in types  # aligned monospace rows inside <pre>
+    tbl = next(s for s in segs if s["type"] == "table")
+    assert tbl["rows"][0] == ["Account", "Q1", "Q2"]
+    # document order preserved: intro < pre content < after
+    assert segs[0]["content"].startswith("intro")
+    assert segs[-1]["content"] == "after"
+    assert segs[0]["box"][0] < tbl["box"][0] < segs[-1]["box"][0]
+
+
+def test_pre_preserves_whitespace_as_text():
+    segs = html_segments(
+        "<body><pre>def f(x):\n    return x + 1</pre></body>"
+    )
+    joined = " ".join(s["content"] for s in segs)
+    assert "def" in joined and "return" in joined
