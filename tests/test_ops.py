@@ -15,7 +15,6 @@ from crrf_det_spark.ops import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
-    quality_score,
     simhash_signatures,
 )
 from crrf_det_spark.ops.textstats import document_stats

@@ -126,3 +126,24 @@ def test_payload_turns_pdf_and_html(spark):
     assert out[("c2", 0)].extracted_text == "plain text payload"
     assert out[("c2", 1)].n_segments == 0
     assert out[("c2", 2)].n_segments == 0
+
+
+def test_single_conversation_skew_is_salted_across_partitions(spark):
+    """Worst-case conversation skew: ONE conv with 20k turns must spread
+    across all partitions via the turn-slice salt (north rule: explicit
+    skew handling; AQE cannot rebalance inside mapInPandas groups)."""
+    from pyspark.sql import functions as F
+
+    from crrf_det_spark.pipeline import extract_transcripts, lineage
+
+    df = spark.range(20_000).select(
+        F.lit("mega-conv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("turn body text number "), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    lin = lineage(extract_transcripts(df, num_partitions=12)).collect()
+    rows = [r.n_rows for r in lin if r.n_rows]
+    assert len(rows) == 12              # every partition got work
+    assert max(rows) / (sum(rows) / len(rows)) < 3.0

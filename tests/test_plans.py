@@ -71,7 +71,6 @@ def test_aggregations_are_partial_final(spark, queries):
 
 
 def test_extraction_single_explicit_exchange(spark):
-    from pyspark.sql import functions as F
 
     from crrf_det_spark.pipeline import extract_transcripts
 
