@@ -914,6 +914,17 @@ def _q_dedup_minhash(spark, sf):
     )
 
 
+def _q_dedup_simhash(spark, sf):
+    # simhash near-dup pairs (keyed blake2b token hashes in the signature
+    # kernel are not SQL-expressible -> rows-only)
+    from crrf_det_spark.ops import simhash_near_pairs, simhash_signatures
+
+    d = _t(spark, sf, "documents")
+    return simhash_near_pairs(
+        simhash_signatures(d), max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_search_tfidf_query(spark, sf):
     # full boolean search pipeline over documents-as-segments
     from crrf_det_spark.search import build_index, search
@@ -968,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_segments": _q_extraction_segments,
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "search_tfidf_query": _q_search_tfidf_query,
     }
 

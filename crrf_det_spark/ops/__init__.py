@@ -9,6 +9,7 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_pairs,
+    simhash_near_pairs,
     simhash_signatures,
     ngram_jaccard_pairs,
     embedding_near_duplicates,

@@ -195,6 +195,55 @@ def simhash_signatures(
     )
 
 
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs from 64-bit simhashes: band the signature into four
+    16-bit chunks (pigeonhole: any pair within hamming distance 3 shares
+    at least one exact chunk), join per chunk, verify exact hamming.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b and
+    hamming <= max_hamming.  Exact for max_hamming <= 3 with 4 bands; for
+    larger radii increase the band count accordingly.
+    """
+    signatures = signatures.persist()
+    banded = signatures.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -77,6 +77,30 @@ class TestDedup:
         assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[4])
         assert sigs[6] == 0
 
+    def test_simhash_near_pairs(self, docs_df):
+        from crrf_det_spark.ops import simhash_near_pairs
+
+        sigs = simhash_signatures(docs_df)
+        pairs = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_pairs(sigs, max_hamming=10).collect()
+        }
+        assert pairs.get((1, 2)) == 0          # identical docs
+        if (1, 3) in pairs:                    # near-dup: small distance
+            assert pairs[(1, 3)] <= 10
+        assert (1, 4) not in pairs             # unrelated docs
+        # exactness vs brute force within the pigeonhole-guaranteed radius
+        sig_by_id = {r.doc_id: r.simhash for r in sigs.collect()}
+        brute = {
+            (a, b): bin((sig_by_id[a] ^ sig_by_id[b]) & (2**64 - 1)).count("1")
+            for a in sig_by_id for b in sig_by_id if a < b
+        }
+        got3 = {
+            (r.doc_a, r.doc_b): r.hamming
+            for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+        }
+        assert got3 == {p: h for p, h in brute.items() if h <= 3}
+
     def test_ngram_jaccard(self, docs_df):
         pairs = {
             (r.doc_a, r.doc_b): r.jaccard
