@@ -925,6 +925,20 @@ def _q_dedup_simhash(spark, sf):
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_dedup_embedding(spark, sf):
+    # hyperplane-LSH cosine near-dup pairs over the embeddings table
+    # (random projections not SQL-expressible -> rows-only)
+    from crrf_det_spark.ops import embedding_near_duplicates
+
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51 at sf0.01), so a "near-dup" run uses a low threshold and few
+    # planes to produce a non-trivial, deterministic candidate set
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_duplicates(
+        emb, threshold=0.3, num_planes=4
+    ).orderBy("doc_a", "doc_b")
+
+
 def _q_search_tfidf_query(spark, sf):
     # full boolean search pipeline over documents-as-segments
     from crrf_det_spark.search import build_index, search
@@ -980,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "search_tfidf_query": _q_search_tfidf_query,
     }
 

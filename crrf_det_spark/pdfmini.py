@@ -142,12 +142,19 @@ def _stream_lines(data: bytes) -> list[str]:
 
 
 def pdf_text_lines(payload: bytes) -> list[str]:
-    """PDF payload -> text lines (empty when nothing parseable)."""
+    """PDF payload -> text lines (empty when nothing parseable).
+
+    Content streams (≈ pages) are separated by one blank line so the
+    downstream grid kernel never merges blocks across page boundaries --
+    the text-space analogue of the reference's per-page processing."""
     if not payload or not payload.startswith(b"%PDF"):
         return []
     out: list[str] = []
     for data in _content_streams(payload):
-        out.extend(_stream_lines(data))
+        lines = _stream_lines(data)
+        if lines and out:
+            out.append("")
+        out.extend(lines)
     return out
 
 

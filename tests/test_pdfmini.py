@@ -98,3 +98,15 @@ def test_compressed_stream_is_actually_flate():
     start = payload.find(b"stream\n") + len(b"stream\n")
     end = payload.find(b"\nendstream")
     zlib.decompress(payload[start:end])  # raises if not real zlib data
+
+
+def test_pages_separated_by_blank_line():
+    c1 = b"BT 72 760 Td (page one line) Tj ET"
+    c2 = b"BT 72 760 Td (page two line) Tj ET"
+    payload = (
+        b"%%PDF-1.4\n"
+        b"4 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        b"6 0 obj << /Length %d >> stream\n%s\nendstream endobj\n"
+        % (len(c1), c1, len(c2), c2)
+    )
+    assert pdf_text_lines(payload) == ["page one line", "", "page two line"]
