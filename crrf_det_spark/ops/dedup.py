@@ -47,11 +47,19 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if len(b) < k:
         return np.empty(0, dtype=np.uint64)
-    # polynomial rolling hash over a sliding window, fully vectorized
+    # polynomial hash over a sliding window, vectorized in bounded chunks
+    # (the window view itself is zero-copy; only the uint64 upcast of each
+    # chunk materializes, so a 10MB doc never allocates a GB-scale temp)
     base = np.uint64(1099511628211)
     powers = base ** np.arange(k, dtype=np.uint64)
-    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    return (windows * powers).sum(axis=1)
+    view = np.lib.stride_tricks.sliding_window_view(b, k)
+    n = view.shape[0]
+    out = np.empty(n, dtype=np.uint64)
+    chunk = 1 << 18
+    for c0 in range(0, n, chunk):
+        w = view[c0: c0 + chunk].astype(np.uint64)
+        out[c0: c0 + chunk] = (w * powers).sum(axis=1)
+    return out
 
 
 def minhash_signatures(
@@ -72,6 +80,7 @@ def minhash_signatures(
     b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 1 << 16  # bounds the (num_hashes x shingles) temp to ~32MB
         for pdf in it:
             sigs = []
             for text in pdf[text_col].values:
@@ -79,10 +88,14 @@ def minhash_signatures(
                 if len(h) == 0:
                     sigs.append([_MERSENNE] * num_hashes)
                     continue
-                # (num_hashes, n_shingles) without materializing huge temps:
-                # chunk shingles if very large
-                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+                m_min = np.full(num_hashes, _MERSENNE, dtype=np.uint64)
+                for c0 in range(0, len(h), chunk):
+                    hc = h[c0: c0 + chunk]
+                    m = (a[:, None] * hc[None, :] + b[:, None]) % np.uint64(
+                        _MERSENNE
+                    )
+                    np.minimum(m_min, m.min(axis=1), out=m_min)
+                sigs.append(m_min.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
     return docs.select("doc_id", text_col).mapInPandas(
@@ -174,6 +187,7 @@ def simhash_signatures(
         return int.from_bytes(d, "little")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = 1 << 16  # bounds the (tokens x 64) bit temp to ~32MB
         for pdf in it:
             out = []
             for text in pdf[text_col].values:
@@ -182,8 +196,13 @@ def simhash_signatures(
                     out.append(0)
                     continue
                 hashes = np.array([_stable64(t) for t in toks], dtype=np.uint64)
-                bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                votes = np.zeros(64, dtype=np.int64)
+                for c0 in range(0, len(hashes), chunk):
+                    hc = hashes[c0: c0 + chunk]
+                    bits = (
+                        hc[:, None] >> np.arange(64, dtype=np.uint64)
+                    ) & np.uint64(1)
+                    votes += (bits.astype(np.int64) * 2 - 1).sum(axis=0)
                 sig = np.uint64(0)
                 for i in np.where(votes > 0)[0]:
                     sig |= np.uint64(1) << np.uint64(i)
