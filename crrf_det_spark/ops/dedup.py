@@ -448,14 +448,24 @@ def embedding_near_duplicates(
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         Vn = V / norms[:, None]
-        sim = Vn @ Vn.T
         ids = pdf[id_col].values
-        ia, ib = np.where(np.triu(sim >= threshold, k=1))
+        # pairwise cosine in row blocks: a degenerate bucket (every vector
+        # in one bucket) must not materialize a B x B matrix at once
+        chunk = 4096
+        out_a, out_b, out_c = [], [], []
+        for r0 in range(0, len(Vn), chunk):
+            sim = Vn[r0: r0 + chunk] @ Vn.T
+            ia, ib = np.where(sim >= threshold)
+            keep = r0 + ia < ib  # strict upper triangle, global indices
+            ia, ib = r0 + ia[keep], ib[keep]
+            out_a.append(np.minimum(ids[ia], ids[ib]))
+            out_b.append(np.maximum(ids[ia], ids[ib]))
+            out_c.append(sim[ia - r0, ib].astype("float64"))
         return pd.DataFrame(
             {
-                "doc_a": np.minimum(ids[ia], ids[ib]),
-                "doc_b": np.maximum(ids[ia], ids[ib]),
-                "cosine": sim[ia, ib].astype("float64"),
+                "doc_a": np.concatenate(out_a) if out_a else [],
+                "doc_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
             }
         )
 
