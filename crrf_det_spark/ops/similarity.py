@@ -66,28 +66,34 @@ def ivf_topk(
     sample_fraction: float = 0.2,
     seed: int = 11,
     iters: int = 8,
+    max_train: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
     Train: k-means on a driver-side sample (centroids are tiny: n_centroids
-    x dim floats, broadcast).  Assign: one vectorized pass bucketing every
-    row to its nearest centroid.  Probe: score exact cosine only inside the
-    ``n_probe`` centroids nearest to the query.  At 100TB the assignment
-    pass is done once at ingest and persisted as a partition column, so a
-    query touches n_probe/n_centroids of the data.
+    x dim floats, broadcast).  The sample is hard-capped at ``max_train``
+    rows so the driver collect stays bounded no matter the table size.
+    Assign: one vectorized pass bucketing every row to its nearest
+    centroid.  Probe: score exact cosine only inside the ``n_probe``
+    centroids nearest to the query.  At 100TB the assignment pass is done
+    once at ingest and persisted as a partition column, so a query touches
+    n_probe/n_centroids of the data.
     """
     sample = np.vstack(
         [
             r[0]
             for r in embeddings.select(vec_col)
             .sample(fraction=sample_fraction, seed=seed)
+            .limit(max_train)
             .collect()
         ]
     ).astype("float64")
     rng = np.random.RandomState(seed)
     cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    s_sq = (sample ** 2).sum(axis=1)[:, None]
     for _ in range(iters):
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        # squared-distance expansion via matmul: no (n x k x dim) temp
+        d = s_sq + (cent ** 2).sum(axis=1)[None, :] - 2.0 * (sample @ cent.T)
         assign = d.argmin(axis=1)
         for c in range(len(cent)):
             m = assign == c
@@ -101,9 +107,10 @@ def ivf_topk(
 
     def assign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = cent_b.value
+        c_sq = (C ** 2).sum(axis=1)[None, :]
         for pdf in it:
             V = np.vstack(pdf[vec_col].values).astype("float64")
-            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = (V ** 2).sum(axis=1)[:, None] + c_sq - 2.0 * (V @ C.T)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
