@@ -36,16 +36,30 @@ _BLOCK_TAGS = {
 }
 _VOID_TAGS = {"br", "hr", "img", "input", "meta", "link"}
 
-_HTML_SIGNAL_RE = re.compile(
-    r"<!doctype\s+html|<html[\s>]|<body[\s>]|<div[\s>]|<p[\s>]|<table[\s>]"
-    r"|<article[\s>]|<section[\s>]",
+_HTML_DOC_RE = re.compile(r"<!doctype\s+html|<html[\s>]", re.IGNORECASE)
+_HTML_OPEN_RE = re.compile(
+    r"<(body|div|p|table|article|section|ul|ol|li|h[1-6]|tr)[\s>]",
+    re.IGNORECASE,
+)
+_HTML_CLOSE_RE = re.compile(
+    r"</(body|div|p|table|article|section|ul|ol|li|h[1-6]|tr|td|th)>",
     re.IGNORECASE,
 )
 
 
 def looks_like_html(text: str) -> bool:
-    """Cheap dispatch test: unambiguous structural tags present."""
-    return bool(text) and _HTML_SIGNAL_RE.search(text) is not None
+    """Cheap dispatch test.  A document marker is decisive; otherwise
+    require BOTH an opening structural tag and a closing one -- prose that
+    merely mentions a tag ("use <div> for layout") must stay on the
+    text-grid path."""
+    if not text:
+        return False
+    if _HTML_DOC_RE.search(text):
+        return True
+    return (
+        _HTML_OPEN_RE.search(text) is not None
+        and _HTML_CLOSE_RE.search(text) is not None
+    )
 
 
 class _Block:

@@ -10,6 +10,11 @@ def test_dispatch_signal():
     assert not looks_like_html("plain text with a < b comparison")
     assert not looks_like_html("")
     assert not looks_like_html("a <- arrow, b <= c")
+    # prose MENTIONING a tag must stay on the text-grid path
+    assert not looks_like_html("use <div> for layout and <p> for paragraphs")
+    assert not looks_like_html("the <table> element renders tabular data")
+    # but an actual snippet (open + close) dispatches
+    assert looks_like_html("<table><tr><td>x</td></tr></table>")
 
 
 def test_structural_boilerplate_dropped():
