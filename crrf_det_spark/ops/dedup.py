@@ -393,16 +393,20 @@ def ngram_jaccard_pairs_prefix(
 
 
 def ngrams_of(text, n: int):
-    """Word n-grams of a text column as an array column (shared helper)."""
+    """Word n-grams of a text column as an array column (shared helper).
+
+    Chained zip_with over shifted copies (see search/normalize.py
+    ngrams_col) -- cheaper than rebuilding an n-slice per position."""
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     if n == 1:
         return toks
-    # guard: sequence(1, 0) would be DESCENDING [1, 0] and break slice
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    g = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, F.size(toks) - F.lit(k))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(
+        F.size(toks) >= n, F.filter(g, lambda x: x.isNotNull())
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def embedding_near_duplicates(

@@ -50,19 +50,31 @@ def tokens_col(text: Column) -> Column:
 def ngrams_col(tokens: Column, lengths: tuple[int, ...] = (1, 2, 3)) -> Column:
     """Space-joined n-grams of the given lengths (index.js:50-55).
 
-    Pure Catalyst: for each n, slide a window with transform over indices.
+    Pure Catalyst: an n-gram array is the element-wise join of n shifted
+    copies of the token array (chained zip_with).  zip_with pads the
+    shorter side with null, so the tail entries null out and one final
+    not-null filter trims the array to size-n+1 -- this avoids the
+    per-index slice + array_join expression, which rebuilt an n-slice per
+    position and dominated index-build time.
     """
     grams = []
     for n in lengths:
         if n == 1:
             grams.append(tokens)
             continue
-        # indices 1..(size-n+1); slice n tokens from each.  Guarded:
-        # sequence(1, 0) would be DESCENDING [1, 0] and break slice.
-        idx = F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1))
-        g = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+        g = tokens
+        for k in range(1, n):
+            shifted = F.slice(tokens, k + 1, F.size(tokens) - F.lit(k))
+            g = F.zip_with(
+                # concat (not concat_ws) so a null shifted entry nulls the
+                # whole gram and the tail filter below can trim it
+                g, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+            )
         grams.append(
-            F.when(F.size(tokens) >= n, g).otherwise(F.array().cast("array<string>"))
+            F.when(
+                F.size(tokens) >= n,
+                F.filter(g, lambda x: x.isNotNull()),
+            ).otherwise(F.array().cast("array<string>"))
         )
     out = grams[0]
     for g in grams[1:]:
