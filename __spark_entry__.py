@@ -796,6 +796,20 @@ LIMIT 10
 """
 
 
+def _q_ann_ivf(spark, sf):
+    # IVF approximate top-k (k-means trained on a capped sample; rows-only:
+    # the centroid train/probe is not SQL-expressible).  Deterministic for
+    # a fixed seed, returns exactly k rows.
+    from crrf_det_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+    return ivf_topk(
+        emb, query, k=10, n_centroids=8, n_probe=3, sample_fraction=0.5
+    ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_text_tokens(spark, sf):
     # token counting (ws + punctuation-aware proxy)
     d = _t(spark, sf, "documents")
@@ -986,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard3": _q_dedup_jaccard3,
         "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
         "text_tokens": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
