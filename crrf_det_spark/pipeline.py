@@ -279,6 +279,29 @@ def _extract_batches_with_bucket(
             yield out
 
 
+def observed_extraction(
+    df: DataFrame, num_partitions: int | None = None
+):
+    """``extract_transcripts`` with free in-flight metrics: returns
+    (DataFrame, Observation).  After any action on the DataFrame,
+    ``observation.get`` yields {n_rows, n_segments, n_chars_in,
+    n_chars_out} with zero extra passes -- the runtime analogue of the
+    reference's Redis progress counters
+    (/root/reference/src/task/project.py:36-40), computed by the engine
+    instead of hand-maintained keys."""
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_metrics")
+    out = extract_transcripts(df, num_partitions=num_partitions).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_segments").alias("n_segments"),
+        F.sum("n_chars_in").alias("n_chars_in"),
+        F.sum("n_chars_out").alias("n_chars_out"),
+    )
+    return out, obs
+
+
 def lineage(extraction: DataFrame, stage: str = "extract") -> DataFrame:
     """Per-partition lineage/metrics table (north rule): row counts, segment
     counts, byte counts grouped by physical partition."""

@@ -147,3 +147,22 @@ def test_single_conversation_skew_is_salted_across_partitions(spark):
     rows = [r.n_rows for r in lin if r.n_rows]
     assert len(rows) == 12              # every partition got work
     assert max(rows) / (sum(rows) / len(rows)) < 3.0
+
+
+def test_observed_extraction_metrics(spark):
+    from crrf_det_spark.pipeline import observed_extraction
+
+    df = spark.createDataFrame(
+        [("c1", 0, "hello world line"), ("c1", 1, "another turn body"),
+         ("c2", 0, "third body of text")],
+        "conv_id string, turn_idx int, text string",
+    )
+    out, obs = observed_extraction(df, num_partitions=4)
+    rows = out.collect()
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_segments"] == sum(r.n_segments for r in rows)
+    assert got["n_chars_out"] == sum(r.n_chars_out for r in rows)
+    assert got["n_chars_in"] == sum(len(t) for _c, _i, t in [
+        ("c1", 0, "hello world line"), ("c1", 1, "another turn body"),
+        ("c2", 0, "third body of text")])
