@@ -868,7 +868,12 @@ FROM documents ORDER BY doc_id
 # --- rows-only checks (not SQL-expressible; driver records weaker check) ---
 
 def _q_extraction_segments(spark, sf):
-    # the extraction kernel itself (mapInPandas; no SQL equivalent)
+    # the extraction kernel itself through mapInPandas.  The kernel is not
+    # SQL-expressible in general, but on this corpus (single-line prose
+    # docs, no runs of whitespace) every doc extracts to exactly one text
+    # segment whose content equals the raw text -- so the whole pass IS
+    # value-checkable: segment counts, byte counts, AND per-turn text
+    # equality (the north rule's invariant) against a DuckDB oracle.
     from crrf_det_spark.pipeline import extract_transcripts
 
     d = _t(spark, sf, "documents").select(
@@ -877,8 +882,17 @@ def _q_extraction_segments(spark, sf):
         "text",
     )
     return extract_transcripts(d, order=True).select(
-        "conv_id", "turn_idx", "n_segments", "n_tables", "n_chars_out"
+        "conv_id", "turn_idx", "n_segments", "n_tables", "n_chars_out",
+        "extracted_text",
     )
+
+
+_O_EXTRACTION_SEGMENTS = """
+SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+       1 AS n_segments, 0 AS n_tables, length(text) AS n_chars_out,
+       text AS extracted_text
+FROM documents ORDER BY conv_id, turn_idx
+"""
 
 
 def _q_extraction_html(spark, sf):
@@ -1037,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "f11_block_rounding": _O_F11,
         "f12_date_format": _O_F12,
         "extraction_html": _O_EXTRACTION_HTML,
+        "extraction_segments": _O_EXTRACTION_SEGMENTS,
         "a7_median": _O_A7,
         "a12_label_collect": _O_A12,
         "dedup_exact": _O_DEDUP_EXACT,
