@@ -967,6 +967,42 @@ def _q_dedup_embedding(spark, sf):
     ).orderBy("doc_a", "doc_b")
 
 
+# the full boolean TFIDF search is SQL-expressible on this corpus (no
+# numeric tokens, so NUMERICVALUE normalization is the identity; one
+# segment per doc): 1+2-gram tf over the query terms, df per term, AND of
+# includes, anti-join of the exclude, idf = ln(n_docs/df)
+_O_SEARCH_TFIDF = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS conv_id, 0 AS turn_idx,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT conv_id, turn_idx, unnest(t) AS term FROM toks
+  UNION ALL
+  SELECT conv_id, turn_idx, t[i] || ' ' || t[i+1] AS term
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), tf AS (
+  SELECT conv_id, turn_idx, lower(term) AS term_l, count(*) AS tf
+  FROM grams WHERE lower(term) IN ('hash', 'join')
+  GROUP BY 1, 2, 3
+), dfx AS (
+  SELECT term_l, count(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT count(*) AS n_docs FROM documents),
+hits AS (
+  SELECT tf.conv_id, tf.turn_idx,
+         sum(tf.tf * ln(n.n_docs / dfx.df)) AS raw_score
+  FROM tf, dfx, n WHERE tf.term_l = dfx.term_l
+  GROUP BY 1, 2 HAVING count(DISTINCT tf.term_l) = 2
+), excl AS (
+  SELECT DISTINCT conv_id, turn_idx FROM grams WHERE lower(term) = 'scan'
+)
+SELECT h.conv_id, h.turn_idx, round(h.raw_score, 6) AS score
+FROM hits h LEFT JOIN excl e USING (conv_id, turn_idx)
+WHERE e.conv_id IS NULL
+ORDER BY score DESC, conv_id, turn_idx
+"""
+
+
 def _q_search_tfidf_query(spark, sf):
     # full boolean search pipeline over documents-as-segments
     from crrf_det_spark.search import build_index, search
@@ -1052,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "f12_date_format": _O_F12,
         "extraction_html": _O_EXTRACTION_HTML,
         "extraction_segments": _O_EXTRACTION_SEGMENTS,
+        "search_tfidf_query": _O_SEARCH_TFIDF,
         "a7_median": _O_A7,
         "a12_label_collect": _O_A12,
         "dedup_exact": _O_DEDUP_EXACT,
