@@ -673,11 +673,25 @@ FROM documents ORDER BY doc_id
 
 
 def _q_o6_sample(spark, sf):
-    # O6: random sampling for tagging (data/project.py:40-64); seeded
-    # sampling differs across engines -> rows-only check on the contract
-    # (deterministic per engine, size-bounded)
+    # O6: sampling for tagging (data/project.py:40-64), as a DETERMINISTIC
+    # hash-bucket sample (md5(doc_id) mod 20 == 0, ~5%): reproducible
+    # across engines AND across Spark task retries -- the production form
+    # of the reference's random pick, and value-checkable against DuckDB
     d = _t(spark, sf, "documents")
-    return d.sample(fraction=0.05, seed=7).select("doc_id", "source").limit(20)
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        d.filter(key % 20 == 0).select("doc_id", "source").orderBy("doc_id")
+    )
+
+
+_O_O6 = """
+SELECT doc_id, source FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 20 = 0
+ORDER BY doc_id
+"""
 
 
 def _q_dedup_exact(spark, sf):
@@ -1081,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "u1_distinct": _O_U1,
         "u3_anti_join": _O_U3,
         "o5_topk": _O_O5,
+        "o6_sample": _O_O6,
         "f1_entity_unescape": _O_F1,
         "f6_ngrams": _O_F6,
         "f8_json_parse": _O_F8,
