@@ -430,7 +430,11 @@ def _q_a8_score_grouping(spark, sf):
         .groupBy("user_id")
         .agg(
             F.round(F.sum("value"), 2).alias("score"),
-            F.sort_array(F.collect_list("event_id")).alias("event_ids"),
+            # joined string, not array: the driver's canonicalizer cannot
+            # hash/sort list-typed result columns (CORRECTNESS_r01 a8 failure)
+            F.array_join(F.sort_array(F.collect_list("event_id")), ",").alias(
+                "event_ids"
+            ),
         )
         .orderBy(F.desc("score"), "user_id")
     )
@@ -438,7 +442,7 @@ def _q_a8_score_grouping(spark, sf):
 
 _O_A8 = """
 SELECT user_id, round(sum(value), 2) AS score,
-       list_sort(list(event_id)) AS event_ids
+       array_to_string(list_sort(list(event_id)), ',') AS event_ids
 FROM events WHERE event_type = 'purchase'
 GROUP BY user_id ORDER BY score DESC, user_id
 """
@@ -629,7 +633,11 @@ def _q_a12_label_collect(spark, sf):
     return (
         e.groupBy("user_id")
         .agg(
-            F.array_sort(F.collect_set("event_type")).alias("event_types"),
+            # joined string, not array: the driver's canonicalizer cannot
+            # hash/sort list-typed result columns (CORRECTNESS_r01 a12 failure)
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "event_types"
+            ),
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id")
@@ -637,7 +645,9 @@ def _q_a12_label_collect(spark, sf):
 
 
 _O_A12 = """
-SELECT user_id, list_sort(list_distinct(list(event_type))) AS event_types,
+SELECT user_id,
+       array_to_string(list_sort(list_distinct(list(event_type))), ',')
+         AS event_types,
        count(*) AS n_events
 FROM events GROUP BY user_id ORDER BY user_id
 """

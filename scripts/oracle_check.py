@@ -5,7 +5,8 @@ compare full result values (columns sorted by name, doubles rounded to
 6 dp, rows canonically sorted) — the same comparison shape the round
 driver uses for CORRECTNESS_r{N}.json, but run locally on demand.
 
-Usage:  PYTHONPATH=/root/repo python scripts/oracle_check.py [sf_dir]
+Usage:  PYTHONPATH=/root/repo python scripts/oracle_check.py [sf_dir] \
+            [--only name1,name2]
 Exit code 0 iff every oracle-paired query matches by value.
 """
 
@@ -16,6 +17,12 @@ import sys
 import duckdb
 import numpy as np
 import pandas as pd
+
+ONLY: set[str] | None = None
+if "--only" in sys.argv:
+    i = sys.argv.index("--only")
+    ONLY = set(sys.argv[i + 1].split(","))
+    del sys.argv[i : i + 2]
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 TABLES = (
@@ -73,6 +80,8 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         if name not in oracles:
             n = fn(spark, SF_DIR).count()
             print(f"{name}: rows-only ({n} rows)")
