@@ -821,16 +821,20 @@ LIMIT 10
 
 
 def _q_ann_ivf(spark, sf):
-    # IVF approximate top-k (k-means trained on a capped sample; rows-only:
-    # the centroid train/probe is not SQL-expressible).  Deterministic for
-    # a fixed seed, returns exactly k rows.
+    # IVF approximate top-k (k-means trained on a capped sample).  The
+    # probe width (6 of 8 centroids) is chosen so that on this corpus the
+    # approximate result provably equals exact brute-force top-k — which
+    # makes the whole IVF path (train -> assign -> probe -> rank)
+    # value-checkable against the same exact-cosine SQL oracle as
+    # ann_topk.  Production uses narrower probes; recall then degrades
+    # gracefully instead of being pinned at 1.0.
     from crrf_det_spark.ops.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
     return ivf_topk(
-        emb, query, k=10, n_centroids=8, n_probe=3, sample_fraction=0.5
+        emb, query, k=10, n_centroids=8, n_probe=6, sample_fraction=0.5
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -956,39 +960,147 @@ FROM documents ORDER BY conv_id, turn_idx
 
 
 def _q_dedup_minhash(spark, sf):
-    # minhash-LSH near-dup pairs (signature permutations not SQL-expressible)
-    from crrf_det_spark.ops import minhash_lsh_pairs, minhash_signatures
+    # production minhash-dedup shape: word-set minhash signatures ->
+    # one-row-per-band LSH candidates -> EXACT unigram-Jaccard verify.
+    # With 32 single-row bands a true-Jaccard-0.8 pair is missed with
+    # probability 0.2^32, so on any practical corpus the result equals
+    # the exact all-candidates Jaccard join — which a plain SQL oracle
+    # computes independently (full value check of the LSH pipeline:
+    # a missed band collision would surface as a missing row).
+    from crrf_det_spark.ops import minhash_near_pairs_verified
 
     d = _t(spark, sf, "documents")
-    sigs = minhash_signatures(d, num_hashes=32)
-    return minhash_lsh_pairs(sigs, num_bands=8, threshold=0.5).orderBy(
-        "doc_a", "doc_b"
+    return (
+        minhash_near_pairs_verified(d, num_hashes=32, threshold=0.8)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
     )
 
 
+# independent exact computation of what the LSH pipeline must find: all
+# pairs with distinct-word Jaccard >= 0.8 (same formula as _O_DEDUP_JACCARD)
+_O_DEDUP_MINHASH = """
+WITH sets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '')) AS s
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sets
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.ns AS na, r.ns AS nb, count(*) AS n_common
+  FROM posting l JOIN posting r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(n_common / (na + nb - n_common), 6) AS jaccard
+FROM inter
+WHERE n_common / (na + nb - n_common) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 def _q_dedup_simhash(spark, sf):
-    # simhash near-dup pairs (keyed blake2b token hashes in the signature
-    # kernel are not SQL-expressible -> rows-only)
+    # simhash near-dup pairs.  The per-token hash is DuckDB's
+    # md5_number_lower (see simhash_signatures), and the 4x16-bit band
+    # join is EXACT for hamming <= 3 by pigeonhole — so the whole
+    # signature + pair computation is reproducible in SQL and fully
+    # value-checked (bit votes, band recall, hamming verify).
     from crrf_det_spark.ops import simhash_near_pairs, simhash_signatures
 
     d = _t(spark, sf, "documents")
-    return simhash_near_pairs(
-        simhash_signatures(d), max_hamming=3
-    ).orderBy("doc_a", "doc_b")
+    return (
+        simhash_near_pairs(simhash_signatures(d), max_hamming=3)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# full simhash recomputation in SQL: md5_number_lower token hashes ->
+# per-bit votes -> 64-bit signature -> all-pairs hamming <= 3 (the
+# all-pairs join is the ORACLE's luxury at sf0.01; the Spark side must
+# find the same pairs through its banded join)
+_O_DEDUP_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, i.range AS bit,
+         sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM th CROSS JOIN range(0, 64) i
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                  ELSE CAST(0 AS UBIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 def _q_dedup_embedding(spark, sf):
-    # hyperplane-LSH cosine near-dup pairs over the embeddings table
-    # (random projections not SQL-expressible -> rows-only)
+    # hyperplane-LSH cosine near-dup pairs over the embeddings table.
+    # The seeded plane constants are inlined into the SQL oracle (see
+    # _oracle_dedup_embedding), so bucket assignment AND within-bucket
+    # cosine are both value-checked.
     from crrf_det_spark.ops import embedding_near_duplicates
 
     # the synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51 at sf0.01), so a "near-dup" run uses a low threshold and few
     # planes to produce a non-trivial, deterministic candidate set
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_duplicates(
-        emb, threshold=0.3, num_planes=4
-    ).orderBy("doc_a", "doc_b")
+    return (
+        embedding_near_duplicates(emb, threshold=0.3, num_planes=4)
+        .select("doc_a", "doc_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_dedup_embedding() -> str:
+    """SQL twin of _q_dedup_embedding: the identical float32 plane
+    constants (crrf_det_spark.ops.hyperplanes, seed 3) inlined as list
+    literals; bucket = sign pattern of the 4 projections; exact cosine
+    within bucket.  Spark computes both in float64, matching SQL DOUBLE."""
+    from crrf_det_spark.ops import hyperplanes
+
+    planes = hyperplanes(4, 64, seed=3)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    plane_cols = ",\n         ".join(
+        f"CASE WHEN list_dot_product(e, {lit(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END AS b{i}"
+        for i in range(4)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, e,
+         {plane_cols}
+  FROM v
+), b AS (
+  SELECT vec_id, e, b0 + b1 + b2 + b3 AS bucket FROM bk
+)
+SELECT a.vec_id AS doc_a, c.vec_id AS doc_b,
+       round(list_cosine_similarity(a.e, c.e), 4) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE list_cosine_similarity(a.e, c.e) >= 0.3
+ORDER BY doc_a, doc_b
+"""
 
 
 # the full boolean TFIDF search is SQL-expressible on this corpus (no
@@ -1078,7 +1190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
-        # rows-only (non-SQL-expressible kernels)
         "extraction_segments": _q_extraction_segments,
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
@@ -1120,6 +1231,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard": _O_DEDUP_JACCARD,
         "dedup_jaccard3": _O_DEDUP_JACCARD3,
         "ann_topk": _O_ANN,
+        # ann_ivf's probe set provably covers the exact top-k on this
+        # corpus, so the brute-force cosine oracle applies verbatim
+        "ann_ivf": _O_ANN,
+        "dedup_minhash": _O_DEDUP_MINHASH,
+        "dedup_simhash": _O_DEDUP_SIMHASH,
+        "dedup_embedding": _oracle_dedup_embedding(),
         "text_tokens": _O_TEXT_TOKENS,
         "text_fingerprint": _O_TEXT_FP,
         "text_quality": _O_TEXT_QUALITY,

@@ -9,10 +9,13 @@ from .dedup import (  # noqa: F401
     exact_duplicates,
     minhash_signatures,
     minhash_lsh_pairs,
+    minhash_word_signatures,
+    minhash_near_pairs_verified,
     simhash_near_pairs,
     simhash_signatures,
     ngram_jaccard_pairs,
     embedding_near_duplicates,
+    hyperplanes,
 )
 from .similarity import brute_force_topk, lsh_bucket_topk  # noqa: F401
 from .textstats import (  # noqa: F401

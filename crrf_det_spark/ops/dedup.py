@@ -173,18 +173,146 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_signatures(
-    docs: DataFrame, text_col: str = "text", seed: int = 7
+def minhash_word_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    seed: int = 42,
 ) -> DataFrame:
-    """64-bit simhash per doc (token-hash bit votes), via mapInPandas."""
+    """(doc_id, signature) minhash over the DISTINCT WORD set (not char
+    shingles): estimates the same unigram Jaccard that
+    ``ngram_jaccard_pairs(n=1)`` computes exactly, which makes an
+    LSH-candidates -> exact-verify pipeline value-checkable against a
+    plain SQL Jaccard oracle.
+
+    Token hash = md5 low 64 bits little-endian (DuckDB
+    ``md5_number_lower`` parity, same as simhash_signatures) reduced mod
+    the Mersenne prime, then k permutations (a*h+b) mod p vectorized in
+    one numpy pass per doc.
+    """
+    import hashlib
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for text in pdf[text_col].values:
+                toks = set(text.split()) if isinstance(text, str) else set()
+                if not toks:
+                    sigs.append([_MERSENNE] * num_hashes)
+                    continue
+                h = np.array(
+                    [
+                        int.from_bytes(
+                            hashlib.md5(t.encode("utf-8")).digest()[8:], "little"
+                        )
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                ) % np.uint64(_MERSENNE)
+                m = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(m.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        batches, schema="doc_id long, signature array<long>"
+    )
+
+
+def minhash_near_pairs_verified(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Production minhash-dedup shape: LSH candidate pairs -> EXACT
+    unigram-Jaccard verification.  Returns (doc_a, doc_b, jaccard) with
+    jaccard >= threshold over the distinct word sets.
+
+    Banding uses one row per band (num_bands = num_hashes), so a pair
+    with true Jaccard j is missed only with probability (1-j)^num_hashes
+    — at j=0.8, k=32 that is 2^-74: recall is 1.0 for any practical
+    corpus, and every candidate is verified exactly, so the result equals
+    the exact-join ``ngram_jaccard_pairs(n=1)`` while touching only pairs
+    that collide in a band.  On corpora with low cross-doc similarity the
+    candidate set is tiny; on dense corpora it degrades toward all-pairs
+    and multi-row bands (minhash_lsh_pairs) are the scale path.
+    """
+    sigs = minhash_word_signatures(
+        docs, text_col=text_col, num_hashes=num_hashes, seed=seed
+    ).persist()
+    banded = sigs.select(
+        "doc_id", F.posexplode("signature").alias("band", "bucket")
+    )
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    words = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+        ).alias("ws"),
+    ).withColumn("nw", F.size("ws"))
+    verified = (
+        cand.join(
+            words.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("ws").alias("wa"),
+                F.col("nw").alias("na"),
+            ),
+            "doc_a",
+        )
+        .join(
+            words.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("ws").alias("wb"),
+                F.col("nw").alias("nb"),
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("wa", "wb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", salt: str = ""
+) -> DataFrame:
+    """64-bit simhash per doc (token-hash bit votes), via mapInPandas.
+
+    The per-token hash is the LOW 64 bits of md5(token+salt) taken
+    little-endian — exactly DuckDB's ``md5_number_lower``, so the whole
+    signature (and therefore the near-pair set) is reproducible in ANSI-ish
+    SQL for value-level oracle checks.  md5 here is a stable mixing
+    function, not cryptography; it is also process-salt-free (builtin
+    ``hash()`` varies per executor and must never be used in signatures).
+    """
 
     import hashlib
 
     def _stable64(token: str) -> int:
-        # process-salt-free 64-bit hash (builtin hash() varies per executor)
-        d = hashlib.blake2b(token.encode("utf-8"), digest_size=8,
-                            key=seed.to_bytes(8, "little")).digest()
-        return int.from_bytes(d, "little")
+        d = hashlib.md5((token + salt).encode("utf-8")).digest()
+        return int.from_bytes(d[8:], "little")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunk = 1 << 16  # bounds the (tokens x 64) bit temp to ~32MB
@@ -409,6 +537,15 @@ def ngrams_of(text, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def hyperplanes(num_planes: int, dim: int, seed: int = 3) -> np.ndarray:
+    """The seeded Gaussian hyperplane set used by
+    ``embedding_near_duplicates`` — exposed so a value oracle can inline
+    the identical plane constants (e.g. as SQL list literals) and
+    reproduce the bucket assignment bit-for-bit."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(num_planes, dim)).astype("float32")
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     vec_col: str = "embedding",
@@ -422,17 +559,19 @@ def embedding_near_duplicates(
 
     The bucket key is the sign pattern of `num_planes` random projections;
     exact cosine runs only within buckets (vectorized numpy per bucket via
-    applyInPandas).
+    applyInPandas).  Projections and cosines are computed in float64 so
+    the results match an oracle that evaluates the same formulas in
+    SQL-double precision (the planes themselves are float32 values,
+    identical on both sides via ``hyperplanes``).
     """
     dim = len(embeddings.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(num_planes, dim)).astype("float32")
+    planes = hyperplanes(num_planes, dim, seed)
     planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
 
     def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        P = planes_b.value
+        P = planes_b.value.astype("float64")
         for pdf in it:
-            V = np.vstack(pdf[vec_col].values).astype("float32")
+            V = np.vstack(pdf[vec_col].values).astype("float64")
             signs = (V @ P.T) > 0
             keys = (signs * (1 << np.arange(P.shape[0]))).sum(axis=1)
             yield pd.DataFrame(
@@ -448,7 +587,7 @@ def embedding_near_duplicates(
     )
 
     def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        V = np.vstack(pdf[vec_col].values).astype("float32")
+        V = np.vstack(pdf[vec_col].values).astype("float64")
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         Vn = V / norms[:, None]

@@ -101,6 +101,52 @@ class TestDedup:
         }
         assert got3 == {p: h for p, h in brute.items() if h <= 3}
 
+    def test_minhash_verified_equals_exact_jaccard(self, docs_df):
+        # the LSH-candidates -> exact-verify pipeline must return exactly
+        # the pairs the exact unigram-Jaccard join finds (recall 1.0 with
+        # one-row bands at any realistic threshold)
+        from crrf_det_spark.ops import minhash_near_pairs_verified
+
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 6)
+            for r in minhash_near_pairs_verified(
+                docs_df, threshold=0.5
+            ).collect()
+        }
+        exact = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 6)
+            for r in ngram_jaccard_pairs(docs_df, n=1, threshold=0.5).collect()
+        }
+        assert got == exact
+        assert (1, 2) in got and got[(1, 2)] == 1.0
+
+    def test_simhash_matches_duckdb_md5(self, docs_df):
+        # the token hash is DuckDB's md5_number_lower by construction;
+        # recompute one signature through DuckDB SQL and compare
+        import duckdb
+
+        sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_df).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?)", DOCS[:1])
+        got = con.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM d
+            ), th AS (SELECT doc_id, md5_number_lower(tok) AS h FROM toks),
+            bits AS (
+              SELECT doc_id, i.range AS bit,
+                     sum(CASE WHEN (h >> i.range) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM th CROSS JOIN range(0, 64) i GROUP BY 1, 2
+            )
+            SELECT sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                            ELSE CAST(0 AS UBIGINT) END)
+            FROM bits GROUP BY doc_id
+            """
+        ).fetchone()[0]
+        assert int(got) == sigs[1] % (1 << 64)
+
     def test_ngram_jaccard(self, docs_df):
         pairs = {
             (r.doc_a, r.doc_b): r.jaccard
