@@ -17,7 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .search.query import search
+from .caching import materialize
+from .search.query import search_many
 
 
 def run_filters(
@@ -30,26 +31,23 @@ def run_filters(
     Returns (conv_id, turn_idx, cindex: array<int>, score, filter_name,
     labels).  Label accumulation for multi-filter hits mirrors
     project.py:82-89 (a segment hit by several filters gets all label
-    sets).  The postings table is cached and shared by every filter; each
-    filter's term list is pushed into the cached scan (the reference
-    rebuilds the index per file; ours is corpus-wide and reused).
+    sets).
+
+    Genuinely ONE pass: ``search_many`` pushes the union of every
+    filter's terms into a single postings scan and resolves all filters
+    with broadcast joins + hash aggs (the reference re-runs its index
+    per file per filter).  The result is materialized eagerly — hit
+    lists are small by construction, and the reference also materializes
+    them (to per-file segs JSON) — which lets the internal postings
+    subset cache be dropped immediately.  Call ``caching.release`` on
+    the returned DataFrame when done with it; after that no cached RDDs
+    remain (asserted in tests/test_search.py).
     """
-    postings = postings.cache()
     n_docs = postings.select("conv_id", "turn_idx", "cindex").distinct().count()
-    parts = []
-    for f in filters:
-        hits = search(
-            postings, f["query"], force_numeric=force_numeric, n_docs=n_docs
-        )
-        parts.append(
-            hits.withColumn("filter_name", F.lit(f["filter_name"])).withColumn(
-                "labels", F.array(*[F.lit(x) for x in f.get("labels", [])])
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    out = search_many(
+        postings, filters, force_numeric=force_numeric, n_docs=n_docs
+    )
+    return materialize(out)
 
 
 def segment_labels(filter_hits: DataFrame) -> DataFrame:
@@ -71,13 +69,17 @@ def segment_labels(filter_hits: DataFrame) -> DataFrame:
 
 
 def master_index(filter_hits: DataFrame) -> DataFrame:
-    """Per-conversation hit-segment counts + total, the analogue of
-    .master_index.json {files: {f: count}, segments_collected}
-    (project.py:43-46,94-103)."""
+    """Per-conversation hit-segment counts + max hit turn, the analogue
+    of .master_index.json {files: {f: count}, segments_collected}
+    (project.py:43-46,94-103); max_turn_idx is the A11 max-page
+    aggregation (the reference tracks the highest page seen per file)."""
     per_conv = (
         filter_hits.select("conv_id", "turn_idx", F.explode("cindex").alias("cindex"))
         .distinct()
         .groupBy("conv_id")
-        .agg(F.count("*").alias("n_segments"))
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.max("turn_idx").alias("max_turn_idx"),
+        )
     )
     return per_conv.orderBy("conv_id")

@@ -104,6 +104,8 @@ def search(
     all_terms = sorted(
         {t for _f, t in q.includes} | {t for _f, t in q.excludes}
     )
+    from ..caching import register
+
     pl = (
         postings.withColumn("term_l", F.lower(F.col("term")))
         .filter(F.col("term_l").isin(all_terms))
@@ -129,12 +131,151 @@ def search(
         doc_hits = doc_hits.join(
             exc, ["conv_id", "turn_idx", "cindex"], "left_anti"
         )
-    # group hits per turn: cindex list + summed score (index.js:124-141)
-    return (
+    # group hits per turn: cindex list + summed score (index.js:124-141).
+    # (tail shared with search_many's per-filter grouping)
+    # pl stays persisted while the returned plan is live (three branches
+    # reference it); callers release it with caching.materialize/release.
+    return register(
         doc_hits.groupBy("conv_id", "turn_idx")
         .agg(
             F.sort_array(F.collect_list("cindex")).alias("cindex"),
             F.sum("score").alias("score"),
         )
-        .orderBy(F.desc("score"), "conv_id", "turn_idx")
+        .orderBy(F.desc("score"), "conv_id", "turn_idx"),
+        pl,
     )
+
+
+def search_many(
+    postings: DataFrame,
+    filters: list[dict],
+    force_numeric: bool = True,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Run MANY boolean queries in ONE pass over the postings — the batch
+    shape behind ``project.run_filters`` (the reference loops files x
+    filters; a driver-side loop of ``search()`` calls here would scan the
+    corpus once per filter).
+
+    filters: [{filter_name, query, labels}].  Per-filter results are
+    identical to ``search()`` (asserted in tests/test_search.py): tf and
+    df come from the same postings subset, field-pinned terms use the
+    per-(term, field) df, every include must match, any exclude kills the
+    doc.  Returns (conv_id, turn_idx, cindex: array<int>, score,
+    filter_name, labels).
+
+    Shape: ONE term-IN filter over the postings (union of every filter's
+    terms) evaluated once and persisted; a tiny broadcast (filter, term,
+    field, exclude) map joins against it; per-(filter, doc) hash aggs do
+    the AND/score logic.  The persisted subset is registered on the
+    result for caching.materialize/release.
+    """
+    from ..caching import register
+
+    parsed = []
+    for f in filters:
+        q = parse_query(f["query"])
+        if not q.includes:
+            continue
+        if force_numeric:
+            q.includes.append((None, "numericvalue"))
+        parsed.append((f["filter_name"], q, f.get("labels", [])))
+
+    spark = postings.sparkSession
+    if not parsed:
+        return spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, cindex array<int>, score double,"
+            " filter_name string, labels array<string>",
+        )
+
+    if n_docs is None:
+        n_docs = (
+            postings.select("conv_id", "turn_idx", "cindex").distinct().count()
+        )
+
+    map_rows = []
+    for name, q, _labels in parsed:
+        for fieldname, term in q.includes:
+            map_rows.append((name, fieldname, term, False))
+        for fieldname, term in q.excludes:
+            map_rows.append((name, fieldname, term, True))
+    term_map = spark.createDataFrame(
+        map_rows, "filter_name string, fieldname string, term_l string,"
+        " exclude boolean"
+    )
+    n_terms = spark.createDataFrame(
+        [(name, len({t for _f, t in q.includes})) for name, q, _l in parsed],
+        "filter_name string, n_terms int",
+    )
+    labels_tbl = spark.createDataFrame(
+        [(name, list(labels)) for name, _q, labels in parsed],
+        "filter_name string, labels array<string>",
+    )
+
+    all_terms = sorted({r[2] for r in map_rows})
+    pl = (
+        postings.withColumn("term_l", F.lower(F.col("term")))
+        .filter(F.col("term_l").isin(all_terms))
+        .persist()
+    )
+
+    # per-term df exactly as search() computes it: over the matched subset,
+    # globally for unpinned terms, per-field for pinned terms
+    doc = ["conv_id", "turn_idx", "cindex"]
+    df_any = pl.groupBy("term_l").agg(F.count_distinct(*doc).alias("df_any"))
+    df_fld = pl.groupBy("term_l", "field").agg(
+        F.count_distinct(*doc).alias("df_fld")
+    )
+
+    matched = pl.join(
+        F.broadcast(term_map),
+        (pl["term_l"] == term_map["term_l"])
+        & (
+            term_map["fieldname"].isNull()
+            | (term_map["fieldname"] == pl["field"])
+        ),
+    ).select(
+        "filter_name",
+        "fieldname",
+        "exclude",
+        pl["term_l"].alias("term_l"),
+        "field",
+        "tf",
+        *doc,
+    )
+
+    inc = (
+        matched.filter(~F.col("exclude"))
+        .join(F.broadcast(df_any), "term_l")
+        .join(F.broadcast(df_fld), ["term_l", "field"])
+        .withColumn(
+            "df",
+            F.when(F.col("fieldname").isNull(), F.col("df_any")).otherwise(
+                F.col("df_fld")
+            ),
+        )
+        .withColumn("tfidf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    doc_hits = (
+        inc.groupBy("filter_name", *doc)
+        .agg(
+            F.count_distinct("term_l").alias("n_matched"),
+            F.sum("tfidf").alias("score"),
+        )
+        .join(F.broadcast(n_terms), "filter_name")
+        .filter(F.col("n_matched") == F.col("n_terms"))
+    )
+    exc = matched.filter(F.col("exclude")).select("filter_name", *doc).distinct()
+    doc_hits = doc_hits.join(exc, ["filter_name", *doc], "left_anti")
+
+    out = (
+        doc_hits.groupBy("filter_name", "conv_id", "turn_idx")
+        .agg(
+            F.sort_array(F.collect_list("cindex")).alias("cindex"),
+            F.sum("score").alias("score"),
+        )
+        .join(F.broadcast(labels_tbl), "filter_name")
+        .select("conv_id", "turn_idx", "cindex", "score", "filter_name", "labels")
+    )
+    return register(out, pl)

@@ -168,3 +168,52 @@ class TestProject:
         hits = run_filters(idx, self.FILTERS, force_numeric=False)
         mi = {r.conv_id: r.n_segments for r in master_index(hits).collect()}
         assert mi == {"c1": 2, "c2": 1}
+
+    def test_master_index_max_turn(self, segments_df):
+        # A11: the max-page aggregation — a filter hitting c2's turn-1
+        # table must raise c2's max_turn_idx to 1
+        idx = build_index(segments_df)
+        hits = run_filters(
+            idx,
+            self.FILTERS
+            + [{"filter_name": "grain", "query": "table:wheat", "labels": []}],
+            force_numeric=False,
+        )
+        mx = {r.conv_id: r.max_turn_idx for r in master_index(hits).collect()}
+        assert mx == {"c1": 0, "c2": 1}
+
+    def test_search_many_equals_per_filter_search(self, segments_df):
+        # one-pass multi-filter resolution must agree with N independent
+        # search() calls, including field-pinned terms and excludes
+        from crrf_det_spark.search.query import search_many
+
+        filters = self.FILTERS + [
+            {"filter_name": "rg", "query": "revenue -guidance", "labels": ["x"]},
+        ]
+        idx = build_index(segments_df)
+        many = {
+            (h.filter_name, h.conv_id, h.turn_idx): (list(h.cindex), round(h.score, 9))
+            for h in search_many(idx, filters, force_numeric=False).collect()
+        }
+        solo = {}
+        for f in filters:
+            for h in search(idx, f["query"], force_numeric=False).collect():
+                solo[(f["filter_name"], h.conv_id, h.turn_idx)] = (
+                    list(h.cindex),
+                    round(h.score, 9),
+                )
+        assert many == solo
+
+    def test_run_filters_releases_all_caches(self, spark, segments_df):
+        from crrf_det_spark.caching import release
+
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        idx = build_index(segments_df)
+        hits = run_filters(idx, self.FILTERS, force_numeric=False)
+        hits.collect()
+        # run_filters materialized the (small) hit table and already
+        # dropped its internal postings-subset cache; release drops the
+        # hit table itself -> net-zero cached RDDs from the whole call
+        release(hits)
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before
