@@ -61,13 +61,33 @@ def _session(cores: int):
     return s
 
 
+def _bench_dedup_minhash(spark, sf):
+    # the SCALE path: char-shingle minhash signatures + multi-row-band LSH
+    # with sig-jaccard verification -- the identical operation round 1
+    # benched under this key, kept for cross-round comparability.  (The
+    # same-named CONTRACT query is now the exact-verified variant, whose
+    # one-row bands degrade to near-all-pairs on this synthetic dense
+    # corpus -- an oracle-checking construction, not the 100TB shape, so
+    # it is excluded from the bench like dedup_jaccard.)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from crrf_det_spark.ops import minhash_lsh_pairs, minhash_signatures
+
+    d = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    sigs = minhash_signatures(d, num_hashes=32)
+    return minhash_lsh_pairs(sigs, num_bands=8, threshold=0.5)
+
+
+BENCH_ONLY = {"dedup_minhash": _bench_dedup_minhash}
+
+
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = BENCH_ONLY.get(name) or qs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
         n = df.count()

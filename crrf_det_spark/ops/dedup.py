@@ -111,22 +111,59 @@ def minhash_lsh_pairs(
     """LSH banding -> candidate pairs -> signature-jaccard verify.
 
     Returns (doc_a, doc_b, sig_jaccard) with doc_a < doc_b and
-    sig_jaccard >= threshold.  Shuffle cost: one explode on bands plus a
-    per-bucket self-join (buckets are tiny under any realistic dup rate;
-    a salted variant would cap pathological buckets).
+    sig_jaccard >= threshold.
 
-    The signature table is persisted here: the plan references it five
-    times (size probe, both sides of the band join, both sides of the
-    verify join), and without the persist each branch would re-run the
-    upstream signature mapInPandas job.  Signatures are ~num_hashes longs
-    per doc -- orders of magnitude smaller than the corpus text -- so this
-    holds at any scale (a production pipeline would materialize them to a
-    table instead).
+    Hot-bucket defense (the adversarial case: a corpus of near-identical
+    docs puts everything in every band bucket, making the per-bucket
+    self-join O(n^2) in ONE task): identical signatures are COLLAPSED
+    first — one representative (min doc_id) per distinct signature joins
+    in the bands, and members of a signature group are emitted as star
+    edges (rep, member, 1.0), which is the transitive-closure-equivalent
+    linear representation of the intra-group clique.  An all-identical
+    corpus therefore costs one hash agg + n-1 output rows instead of a
+    single-task n^2 join (stress-tested in tests/test_ops.py).  Buckets
+    that are hot WITHOUT signature equality keep their O(B^2) cost — at
+    that point the docs genuinely collide in a band and the work is the
+    answer — but B is bounded by the distinct-signature count per
+    bucket, which real corpora keep small.
+
+    Cross-group pairs are emitted rep-to-rep; the output is a dedup
+    graph whose connected components equal the naive all-pairs graph's
+    (what downstream keep-one-per-component consumes), not the full
+    clique edge list.
+
+    The signature table is persisted here: the plan references it several
+    times (size probe, band join, verify join, group expansion), and
+    without the persist each branch would re-run the upstream signature
+    mapInPandas job.  Signatures are ~num_hashes longs per doc -- orders
+    of magnitude smaller than the corpus text -- so this holds at any
+    scale (a production pipeline would materialize them to a table).
     """
     signatures = signatures.persist()
     n = signatures.select(F.size("signature")).first()[0]
     rows_per_band = n // num_bands
-    banded = signatures.select(
+
+    # collapse identical signatures: reps carry the band join
+    groups = signatures.groupBy("signature").agg(
+        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_n")
+    ).persist()
+    # star edges inside each signature group: (rep, member), sig_jaccard 1
+    intra = (
+        signatures.alias("m")
+        .join(
+            groups.alias("g"),
+            F.col("m.signature") == F.col("g.signature"),
+        )
+        .filter(F.col("m.doc_id") > F.col("g.rep_id"))
+        .select(
+            F.col("g.rep_id").alias("doc_a"),
+            F.col("m.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("sig_jaccard"),
+        )
+    )
+
+    reps = groups.select(F.col("rep_id").alias("doc_id"), "signature")
+    banded = reps.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -151,9 +188,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sigs = signatures.select(
-        F.col("doc_id"), F.col("signature").alias("sig")
-    )
+    sigs = reps.select(F.col("doc_id"), F.col("signature").alias("sig"))
     verified = cand.join(
         sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"),
         "doc_a",
@@ -166,11 +201,14 @@ def minhash_lsh_pairs(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         lambda v: v == 1,
     )
-    return (
+    cross = (
         verified.withColumn("sig_jaccard", F.size(eq) / F.size("sig_a"))
         .select("doc_a", "doc_b", "sig_jaccard")
         .filter(F.col("sig_jaccard") >= threshold)
     )
+    from ..caching import register
+
+    return register(intra.unionByName(cross), signatures, groups)
 
 
 def minhash_word_signatures(
@@ -292,7 +330,9 @@ def minhash_near_pairs_verified(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
+    from ..caching import register
+
+    return register(verified, sigs)
 
 
 def simhash_signatures(
@@ -343,7 +383,8 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 3
+    signatures: DataFrame, max_hamming: int = 3,
+    collapse_identical: bool = False,
 ) -> DataFrame:
     """Near-dup pairs from 64-bit simhashes: band the signature into four
     16-bit chunks (pigeonhole: any pair within hamming distance 3 shares
@@ -352,8 +393,41 @@ def simhash_near_pairs(
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b and
     hamming <= max_hamming.  Exact for max_hamming <= 3 with 4 bands; for
     larger radii increase the band count accordingly.
+
+    ``collapse_identical=True`` is the hot-bucket defense for corpora
+    with mass-duplicated content (same idea as minhash_lsh_pairs):
+    identical simhash values collapse to one representative before the
+    band join; group members come back as star edges (rep, member, 0)
+    and cross pairs are rep-to-rep — connected components unchanged, but
+    an all-identical corpus costs a hash agg instead of a single-task
+    O(n^2) join.  Default False keeps the exact full edge list (the
+    value-oracle contract shape).
     """
     signatures = signatures.persist()
+    if collapse_identical:
+        groups = signatures.groupBy("simhash").agg(
+            F.min("doc_id").alias("rep_id")
+        ).persist()
+        intra = (
+            signatures.alias("m")
+            .join(groups.alias("g"), F.col("m.simhash") == F.col("g.simhash"))
+            .filter(F.col("m.doc_id") > F.col("g.rep_id"))
+            .select(
+                F.col("g.rep_id").alias("doc_a"),
+                F.col("m.doc_id").alias("doc_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        from ..caching import register
+
+        reps = groups.select(F.col("rep_id").alias("doc_id"), "simhash")
+        cross = simhash_near_pairs(reps, max_hamming, collapse_identical=False)
+        out = intra.unionByName(
+            cross.select("doc_a", "doc_b", F.col("hamming").cast("int"))
+        )
+        return register(
+            out, signatures, groups, *getattr(cross, "_crrf_cached", [])
+        )
     banded = signatures.select(
         "doc_id",
         "simhash",
@@ -382,12 +456,15 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return (
+    from ..caching import register
+
+    return register(
         cand.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("doc_a", "doc_b", "hamming"),
+        signatures,
     )
 
 
@@ -517,7 +594,9 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return verified
+    from ..caching import register
+
+    return register(verified, shingled)
 
 
 def ngrams_of(text, n: int):
@@ -553,6 +632,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
     exact within-bucket cosine.
@@ -563,6 +643,17 @@ def embedding_near_duplicates(
     the results match an oracle that evaluates the same formulas in
     SQL-double precision (the planes themselves are float32 values,
     identical on both sides via ``hyperplanes``).
+
+    Hot-bucket defense: a bucket larger than ``max_bucket`` (a degenerate
+    corpus where many vectors share one sign pattern) is SALTED into
+    s = ceil(n/max_bucket) id-hash blocks and the bucket's all-pairs work
+    becomes one task per unordered BLOCK PAIR (i <= j) — block i x
+    block j cross-cosine — so no single task exceeds ~max_bucket^2 work
+    and the quadratic total spreads across the cluster instead of one
+    straggler.  Each vector replicates s times (once per task it
+    participates in); s == 1 for normal buckets, so the common case pays
+    only the size-probe aggregation.  Results are identical to the
+    unsalted join (asserted in tests/test_ops.py).
     """
     dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(num_planes, dim, seed)
@@ -586,24 +677,61 @@ def embedding_near_duplicates(
         bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
     )
 
+    # block-pair salting: s blocks per bucket (1 unless the bucket is hot);
+    # a vector in block b joins every task (min(b,j), max(b,j)), j < s
+    sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("_bn") / F.lit(max_bucket))
+    ).cast("int")
+    blk = F.pmod(F.xxhash64(F.col(id_col)), n_blocks).cast("int")
+    expanded = (
+        bucketed.join(sizes, "bucket")
+        .withColumn("_blk", blk)
+        .withColumn(
+            "_j", F.explode(F.sequence(F.lit(0), n_blocks - F.lit(1)))
+        )
+        .select(
+            id_col,
+            vec_col,
+            "bucket",
+            "_blk",
+            F.least("_blk", "_j").alias("_bi"),
+            F.greatest("_blk", "_j").alias("_bj"),
+        )
+    )
+
     def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        _bucket, bi, bj = key
         V = np.vstack(pdf[vec_col].values).astype("float64")
         norms = np.linalg.norm(V, axis=1)
         norms[norms == 0] = 1.0
         Vn = V / norms[:, None]
         ids = pdf[id_col].values
-        # pairwise cosine in row blocks: a degenerate bucket (every vector
-        # in one bucket) must not materialize a B x B matrix at once
         chunk = 4096
         out_a, out_b, out_c = [], [], []
-        for r0 in range(0, len(Vn), chunk):
-            sim = Vn[r0: r0 + chunk] @ Vn.T
-            ia, ib = np.where(sim >= threshold)
-            keep = r0 + ia < ib  # strict upper triangle, global indices
-            ia, ib = r0 + ia[keep], ib[keep]
-            out_a.append(np.minimum(ids[ia], ids[ib]))
-            out_b.append(np.maximum(ids[ia], ids[ib]))
-            out_c.append(sim[ia - r0, ib].astype("float64"))
+        if bi == bj:
+            # within-block pairs, upper triangle; chunked so a hot block
+            # never materializes a B x B matrix at once
+            for r0 in range(0, len(Vn), chunk):
+                sim = Vn[r0: r0 + chunk] @ Vn.T
+                ia, ib = np.where(sim >= threshold)
+                keep = r0 + ia < ib  # strict upper triangle, global indices
+                ia, ib = r0 + ia[keep], ib[keep]
+                out_a.append(np.minimum(ids[ia], ids[ib]))
+                out_b.append(np.maximum(ids[ia], ids[ib]))
+                out_c.append(sim[ia - r0, ib].astype("float64"))
+        else:
+            # cross pairs between the two blocks only (each unordered pair
+            # of blocks is exactly one task, so no double counting)
+            mask = pdf["_blk"].values == bi
+            X, xid = Vn[mask], ids[mask]
+            Y, yid = Vn[~mask], ids[~mask]
+            for r0 in range(0, len(X), chunk):
+                sim = X[r0: r0 + chunk] @ Y.T
+                ia, ib = np.where(sim >= threshold)
+                out_a.append(np.minimum(xid[r0 + ia], yid[ib]))
+                out_b.append(np.maximum(xid[r0 + ia], yid[ib]))
+                out_c.append(sim[ia, ib].astype("float64"))
         return pd.DataFrame(
             {
                 "doc_a": np.concatenate(out_a) if out_a else [],
@@ -613,7 +741,7 @@ def embedding_near_duplicates(
         )
 
     return (
-        bucketed.groupBy("bucket")
+        expanded.groupBy("bucket", "_bi", "_bj")
         .applyInPandas(pairs, schema="doc_a long, doc_b long, cosine double")
         .distinct()
     )

@@ -180,6 +180,70 @@ class TestDedup:
         assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
         assert all(p == (1, 2) for p in pairs)
 
+    def test_embedding_salted_equals_unsalted(self, spark):
+        # block-pair salting must not change the result set
+        rng = np.random.RandomState(5)
+        base = rng.normal(size=12).astype("float64")
+        rows = [
+            (
+                i,
+                (base + 0.05 * rng.normal(size=12)).astype("float32").tolist(),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kw = dict(threshold=0.9, num_planes=2)
+        plain = {
+            (r.doc_a, r.doc_b): round(r.cosine, 9)
+            for r in embedding_near_duplicates(df, max_bucket=10_000, **kw).collect()
+        }
+        salted = {
+            (r.doc_a, r.doc_b): round(r.cosine, 9)
+            for r in embedding_near_duplicates(df, max_bucket=7, **kw).collect()
+        }
+        assert plain == salted and len(plain) > 50
+
+    def test_minhash_adversarial_identical_corpus(self, spark):
+        # all-identical corpus: signature collapse must produce n-1 star
+        # edges from one hash agg, not a single-task O(n^2) band join
+        import time
+
+        from crrf_det_spark.ops import minhash_lsh_pairs, minhash_signatures
+
+        n = 3000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.lit("the same document text repeated everywhere").alias("text"),
+        )
+        t0 = time.time()
+        got = minhash_lsh_pairs(
+            minhash_signatures(df, num_hashes=16), num_bands=4
+        ).collect()
+        elapsed = time.time() - t0
+        assert len(got) == n - 1
+        assert all(r.doc_a == 0 and r.sig_jaccard == 1.0 for r in got)
+        assert elapsed < 60, f"adversarial corpus took {elapsed:.1f}s"
+
+    def test_simhash_collapse_identical(self, spark):
+        from crrf_det_spark.ops import simhash_near_pairs, simhash_signatures
+
+        n = 2000
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "alpha beta gamma delta words")
+            .otherwise("totally different other content here")
+            .alias("text"),
+        )
+        got = simhash_near_pairs(
+            simhash_signatures(df), max_hamming=3, collapse_identical=True
+        ).collect()
+        # two identical-signature groups of n/2 -> (n/2 - 1) star edges each
+        # (+ possibly a rep-rep edge if the two sigs are close; they aren't)
+        stars = [r for r in got if r.hamming == 0]
+        assert len(stars) == n - 2
+        reps = {r.doc_a for r in stars}
+        assert reps == {0, 1}
+
 
 class TestSimilarity:
     def test_brute_force_exact(self, emb_df):
