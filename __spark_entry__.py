@@ -704,6 +704,176 @@ ORDER BY doc_id
 """
 
 
+def _q_ingest_stats(spark, sf):
+    # ingest-time derived columns (initialize_pdf analogue,
+    # /root/reference/src/task/file.py:15-68): preview, thumbnail count,
+    # page dimensions over a deterministic two-line text variant (so the
+    # line arithmetic is non-trivial on this single-line corpus), plus
+    # the whitespace token count from document_stats
+    from crrf_det_spark.pipeline import ingest_transcripts
+
+    d = _t(spark, sf, "documents")
+    two_line = F.when(
+        F.length("text") > 100,
+        F.concat(
+            F.substring("text", 1, 100), F.lit("\n"), F.expr("substring(text, 101)")
+        ),
+    ).otherwise(F.col("text"))
+    src = d.select("doc_id", two_line.alias("text"))
+    return (
+        ingest_transcripts(src, stats=True)
+        .select(
+            "doc_id", "preview", "n_thumbs", "page_w", "page_h", "n_tokens_ws"
+        )
+        .orderBy("doc_id")
+    )
+
+
+_O_INGEST = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 100
+              THEN substr(text, 1, 100) || chr(10) || substr(text, 101)
+              ELSE text END AS text
+  FROM documents
+), lined AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM src
+)
+SELECT doc_id,
+       substr(text, 1, 750) AS preview,
+       least(5, len(lines)) AS n_thumbs,
+       list_max(list_transform(lines, x -> length(x))) AS page_w,
+       len(lines) AS page_h,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS n_tokens_ws
+FROM lined ORDER BY doc_id
+"""
+
+
+def _q_tagging_batches(spark, sf):
+    # the generate_tagging analogue (/root/reference/src/task/project.py:
+    # 107-265): a deterministic sample of hit segments gets a global
+    # entry number (scalable offsets pattern, no single-partition
+    # window), a batch-directory index (batches of 16 here; 1000 in the
+    # reference), an 8-block-rounded crop rectangle, and the 2/3/4-way
+    # split-for-mobile block sizes.  Synthetic boxes are derived from
+    # doc_id so every split branch (none/2/3/4 blocks + the tall-box
+    # no-split case) is exercised; one row per split block via
+    # posexplode, fully value-checked in SQL.
+    from crrf_det_spark.tagging import tagging_entries
+
+    d = _t(spark, sf, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    segs = d.filter(key % 5 == 0).select(
+        F.col("doc_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit(0).alias("cindex"),
+        F.substring("text", 1, 40).alias("snippet"),
+        (F.col("doc_id") % 50).cast("int").alias("box_y0"),
+        ((F.col("doc_id") * 7) % 40).cast("int").alias("box_x0"),
+        ((F.col("doc_id") % 50) + 20 + (F.col("doc_id") % 3) * 200)
+        .cast("int")
+        .alias("box_y1"),
+        (((F.col("doc_id") * 7) % 40) + 300 + (F.col("doc_id") % 4) * 700)
+        .cast("int")
+        .alias("box_x1"),
+    )
+    e = tagging_entries(segs, batch_size=16, target_scale=1.0, n_partitions=8)
+    return (
+        e.select(
+            "entry_id",
+            "batch_index",
+            "conv_id",
+            "snippet",
+            "crop_y0",
+            "crop_x0",
+            "crop_y1",
+            "crop_x1",
+            "crop_width",
+            "crop_height",
+            F.posexplode("crop_sizes").alias("block_idx", "blk"),
+        )
+        .select(
+            "entry_id",
+            "batch_index",
+            "conv_id",
+            "snippet",
+            "crop_y0",
+            "crop_x0",
+            "crop_y1",
+            "crop_x1",
+            "crop_width",
+            "crop_height",
+            "block_idx",
+            F.col("blk")[0].alias("block_w"),
+            F.col("blk")[1].alias("block_h"),
+        )
+        .orderBy("entry_id", "block_idx")
+    )
+
+
+# independent SQL recomputation of numbering, batching, crop rounding and
+# the split rule (reference project.py:172-226 arithmetic verbatim)
+_O_TAGGING = """
+WITH s AS (
+  SELECT doc_id AS conv_id, substr(text, 1, 40) AS snippet,
+         doc_id % 50 AS by0, (doc_id * 7) % 40 AS bx0,
+         (doc_id % 50) + 20 + (doc_id % 3) * 200 AS by1,
+         ((doc_id * 7) % 40) + 300 + (doc_id % 4) * 700 AS bx1
+  FROM documents
+  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 5 = 0
+), e AS (
+  SELECT *, row_number() OVER (ORDER BY conv_id) AS entry_id FROM s
+), c AS (
+  SELECT entry_id, (entry_id // 16) * 16 AS batch_index, conv_id, snippet,
+         CAST(floor(by0 / 8) * 8 AS INT) AS crop_y0,
+         CAST(floor(bx0 / 8) * 8 AS INT) AS crop_x0,
+         CAST(floor(by1 / 8 + 1) * 8 AS INT) AS crop_y1,
+         CAST(floor(bx1 / 8 + 1) * 8 AS INT) AS crop_x1
+  FROM e
+), d2 AS (
+  SELECT *, crop_x1 - crop_x0 AS crop_width, crop_y1 - crop_y0 AS crop_height
+  FROM c
+), sz AS (
+  SELECT *, CASE
+    WHEN crop_width < 2 * crop_height THEN [[crop_width, crop_height]]
+    WHEN crop_width >= 2000 THEN [
+      [CAST(trunc(crop_width / 4.0 / 8 + 1) AS INT) * 8, crop_height],
+      [CAST(trunc(2 * (crop_width / 4.0) / 8 + 1) AS INT) * 8
+         - CAST(trunc(crop_width / 4.0 / 8 - 1) AS INT) * 8, crop_height],
+      [CAST(trunc(3 * (crop_width / 4.0) / 8 + 1) AS INT) * 8
+         - CAST(trunc(2 * (crop_width / 4.0) / 8 - 1) AS INT) * 8, crop_height],
+      [crop_width
+         - CAST(trunc(3 * (crop_width / 4.0) / 8 - 1) AS INT) * 8, crop_height]]
+    WHEN crop_width >= 1400 THEN [
+      [CAST(trunc(crop_width / 3.0 / 8 + 1) AS INT) * 8, crop_height],
+      [CAST(trunc(2 * (crop_width / 3.0) / 8 + 1) AS INT) * 8
+         - CAST(trunc(crop_width / 3.0 / 8 - 1) AS INT) * 8, crop_height],
+      [crop_width
+         - CAST(trunc(2 * (crop_width / 3.0) / 8 - 1) AS INT) * 8, crop_height]]
+    WHEN crop_width >= 800 THEN [
+      [CAST(trunc(crop_width / 2.0 / 8 + 1) AS INT) * 8, crop_height],
+      [crop_width
+         - CAST(trunc(crop_width / 2.0 / 8 - 1) AS INT) * 8, crop_height]]
+    ELSE [[crop_width, crop_height]] END AS crop_sizes
+  FROM d2
+), x AS (
+  SELECT entry_id, batch_index, conv_id, snippet, crop_y0, crop_x0, crop_y1,
+         crop_x1, crop_width, crop_height,
+         generate_subscripts(crop_sizes, 1) - 1 AS block_idx,
+         unnest(crop_sizes) AS blk
+  FROM sz
+)
+SELECT entry_id, batch_index, conv_id, snippet, crop_y0, crop_x0, crop_y1,
+       crop_x1, crop_width, crop_height, block_idx,
+       blk[1] AS block_w, blk[2] AS block_h
+FROM x ORDER BY entry_id, block_idx
+"""
+
+
 def _q_dedup_exact(spark, sf):
     # exact dedup via digest group (returns dup groups; empty is valid)
     from crrf_det_spark.ops import exact_duplicates
@@ -1175,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u3_anti_join": _q_u3_anti_join,
         "o5_topk": _q_o5_topk,
         "o6_sample": _q_o6_sample,
+        "tagging_batches": _q_tagging_batches,
+        "ingest_stats": _q_ingest_stats,
         "f1_entity_unescape": _q_f1_entity_unescape,
         "f6_ngrams": _q_f6_ngrams,
         "f8_json_parse": _q_f8_json_parse,
@@ -1217,6 +1389,8 @@ def oracle_sql() -> dict[str, str]:
         "u3_anti_join": _O_U3,
         "o5_topk": _O_O5,
         "o6_sample": _O_O6,
+        "tagging_batches": _O_TAGGING,
+        "ingest_stats": _O_INGEST,
         "f1_entity_unescape": _O_F1,
         "f6_ngrams": _O_F6,
         "f8_json_parse": _O_F8,

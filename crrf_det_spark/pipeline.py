@@ -194,6 +194,42 @@ def extract_payload_turns(
     )
 
 
+def ingest_transcripts(
+    df: DataFrame, text_col: str = "text", stats: bool = True
+) -> DataFrame:
+    """Ingest-time derived columns — the ``initialize_pdf`` analogue
+    (/root/reference/src/task/file.py:15-68), which renders a 750px
+    preview, up-to-5 page thumbnails, and records page dimensions before
+    translation ever runs.  In text space:
+
+    * ``preview``   — first 750 chars (the 750px preview render)
+    * ``n_thumbs``  — min(5, line count)  (thumbnails for pages 1-5)
+    * ``page_w``/``page_h`` — max line width / line count (the page-
+      dimension meta.json entries)
+    * plus the ``document_stats`` projection (lang_id, quality, token
+      counts, fingerprint) when ``stats=True``.
+
+    Everything is a pure-Catalyst projection evaluated in the SAME scan
+    as whatever reads the table next — at 100 TB these are free derived
+    columns, not an extra pass (the reference pays three subprocess
+    renders per file for the same metadata)."""
+    from .ops.textstats import document_stats
+
+    lines = F.split(F.col(text_col), "\n")
+    out = df.select(
+        "*",
+        F.substring(F.col(text_col), 1, 750).alias("preview"),
+        F.least(F.lit(5), F.size(lines)).alias("n_thumbs"),
+        F.array_max(F.transform(lines, lambda ln: F.length(ln))).alias(
+            "page_w"
+        ),
+        F.size(lines).alias("page_h"),
+    )
+    if stats:
+        out = document_stats(out, text_col=text_col)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # checkpointed, resumable stage driver
 # ---------------------------------------------------------------------------

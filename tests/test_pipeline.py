@@ -166,3 +166,36 @@ def test_observed_extraction_metrics(spark):
     assert got["n_chars_in"] == sum(len(t) for _c, _i, t in [
         ("c1", 0, "hello world line"), ("c1", 1, "another turn body"),
         ("c2", 0, "third body of text")])
+
+
+def test_ingest_stats_columns(spark):
+    from crrf_det_spark.pipeline import ingest_transcripts
+
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "alpha beta\ngamma delta epsilon\nzz"),
+            ("c2", 0, "x" * 900),
+            ("c3", 0, "one\ntwo\nthree\nfour\nfive\nsix\nseven"),
+            ("c4", 0, ""),
+        ],
+        "conv_id string, turn_idx int, text string",
+    )
+    got = {r.conv_id: r for r in ingest_transcripts(df).collect()}
+    # preview truncation at 750 chars (the 750px preview analogue)
+    assert got["c2"].preview == "x" * 750
+    # thumbs capped at 5 (pages 1-5 analogue)
+    assert got["c3"].n_thumbs == 5 and got["c3"].page_h == 7
+    # page dims: widest line x line count
+    assert (got["c1"].page_w, got["c1"].page_h) == (19, 3)
+    # empty text: one empty line
+    assert (got["c4"].page_w, got["c4"].page_h, got["c4"].n_thumbs) == (0, 1, 1)
+    # document_stats columns present and sane
+    assert got["c1"].n_tokens_ws == 6
+    assert set(
+        ["lang_id", "quality", "n_tokens_ws", "n_tokens_bpe", "fingerprint"]
+    ) <= set(got["c1"].asDict())
+    # ingest columns flow through extraction unchanged (same scan: the
+    # derived columns don't block downstream extraction)
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    assert extract_transcripts(ingest_transcripts(df)).count() == 4
