@@ -297,9 +297,27 @@ def extract_turn_auto(text: str) -> list[dict]:
     extractor (structural boilerplate + link-density heuristics,
     htmlx.py); everything else through the text-grid kernel.  Both emit
     the same segment schema, so downstream cindex/ordering semantics are
-    identical."""
-    if text and looks_like_html(text):
+    identical.
+
+    Mixed-prose guard: without a decisive document marker the dispatch
+    heuristic can misfire on prose that quotes markup; in that ambiguous
+    band the DOM result is accepted only if it yields at least half the
+    characters of the plain-text parse (the DOM path legitimately strips
+    boilerplate, but a quoted-fragment misparse discards most of the
+    turn).  The double parse is paid only for marker-less HTML-looking
+    turns."""
+    if not text:
+        return extract_turn(text)
+    from .htmlx import has_html_marker
+
+    if has_html_marker(text):
         return html_segments(text)
+    if looks_like_html(text):
+        dom = html_segments(text)
+        grid = extract_turn(text)
+        dom_chars = sum(len(s["content"]) for s in dom)
+        grid_chars = sum(len(s["content"]) for s in grid)
+        return dom if dom_chars * 2 >= grid_chars else grid
     return extract_turn(text)
 
 

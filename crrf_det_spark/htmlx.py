@@ -47,11 +47,25 @@ _HTML_CLOSE_RE = re.compile(
 )
 
 
+def has_html_marker(text: str) -> bool:
+    """Decisive document marker (<!doctype html> / <html>)."""
+    return bool(text) and _HTML_DOC_RE.search(text) is not None
+
+
+def structural_tag_count(text: str) -> int:
+    """Number of structural open+close tags -- the dispatch density
+    signal."""
+    return len(_HTML_OPEN_RE.findall(text)) + len(_HTML_CLOSE_RE.findall(text))
+
+
 def looks_like_html(text: str) -> bool:
     """Cheap dispatch test.  A document marker is decisive; otherwise
     require BOTH an opening structural tag and a closing one -- prose that
     merely mentions a tag ("use <div> for layout") must stay on the
-    text-grid path."""
+    text-grid path.  For the remaining ambiguous band (prose QUOTING a
+    complete markup fragment), extract_turn_auto adds a yield-based
+    fallback: the DOM parse is rejected if it discards most of the turn's
+    characters relative to the plain-text parse."""
     if not text:
         return False
     if _HTML_DOC_RE.search(text):

@@ -74,14 +74,20 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
             pos += 1
         return payload[start:pos]
 
-    magic = token()
-    w, h, maxval = int(token()), int(token()), int(token())
-    pos += 1  # exactly one whitespace byte after maxval, then raster
-    channels = 3 if magic == b"P6" else 1
-    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
-    n = w * h * channels
-    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
-    img = raster.reshape(h, w, channels).astype(np.float64)
+    try:
+        magic = token()
+        w, h, maxval = int(token()), int(token()), int(token())
+        pos += 1  # exactly one whitespace byte after maxval, then raster
+        channels = 3 if magic == b"P6" else 1
+        dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+        n = w * h * channels
+        raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+        img = raster.reshape(h, w, channels).astype(np.float64)
+    except (ValueError, TypeError) as e:
+        # a single corrupt payload must fail with the documented error
+        # shape (callers skip it), not kill the whole Spark task with a
+        # bare int()/frombuffer exception
+        raise ValueError(f"malformed netpbm payload: {e}") from e
     if maxval != 255:
         img = img * (255.0 / maxval)
     return img.mean(axis=2).astype(np.uint8)
@@ -91,8 +97,11 @@ def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
     """binary payload -> uint8 grayscale array.
 
     Netpbm (P5/P6) payloads decode for real; anything else needs a codec
-    library this container lacks -- raise unless the caller opts into the
-    deterministic fake decoder."""
+    library this container lacks -- raise NotImplementedError unless the
+    caller opts into the deterministic fake decoder.  A payload that
+    LOOKS like netpbm but is truncated/corrupt raises
+    ``ValueError('malformed netpbm payload: ...')`` -- batch callers
+    (extract_features) catch it and skip the row."""
     if payload and payload[:2] in (b"P5", b"P6"):
         return _parse_pnm(payload)
     if not fake:
@@ -207,16 +216,23 @@ def extract_features(
 
     The kernel decodes (stub), resizes by block-mean (real numpy), and emits
     a flattened normalized feature vector.  Batch shape and schema are real;
-    only the decode is fake.
+    only the decode is fake.  Rows whose payload fails decode (malformed
+    netpbm -> ValueError) are SKIPPED, not fatal -- one corrupt blob in a
+    100TB corpus must never kill a task.
     """
     tw, th = resize_to
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = []
-            for payload, meta in zip(pdf["payload"].values, pdf["meta"].values):
+            feats, keep = [], []
+            for k, (payload, meta) in enumerate(
+                zip(pdf["payload"].values, pdf["meta"].values)
+            ):
                 m = meta if meta is not None else {"width": 8, "height": 8}
-                img = decode_image(payload, m, fake=fake)
+                try:
+                    img = decode_image(payload, m, fake=fake)
+                except ValueError:
+                    continue  # malformed payload: skip the row
                 # block-mean resize to (th, tw) -- real vectorized kernel
                 h, w = img.shape
                 ys = (np.arange(th + 1) * h // th).astype(int)
@@ -228,10 +244,11 @@ def extract_features(
                                     xs[j]: max(xs[j + 1], xs[j] + 1)]
                         out[i, j] = block.mean()
                 feats.append((out.ravel() / 255.0).astype("float32").tolist())
+                keep.append(k)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
+                    "media_id": pdf["media_id"].values[keep],
+                    "kind": pdf["kind"].values[keep],
                     "feature": feats,
                     "out_width": tw,
                     "out_height": th,

@@ -23,7 +23,13 @@ from __future__ import annotations
 import re
 import zlib
 
-_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
+# the dict must be the one BELONGING to this stream: `[^<>]|<<.*?>>`
+# keeps the match inside a single (possibly one-level-nested) dict, so a
+# non-greedy `<<(.*?)>>` can't start at an unrelated earlier object and
+# attribute that object's /Filter to this stream
+_STREAM_RE = re.compile(
+    rb"<<((?:[^<>]|<<.*?>>)*?)>>\s*stream\r?\n", re.DOTALL
+)
 _ESCAPES = {
     b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
     b"(": "(", b")": ")", b"\\": "\\",

@@ -61,15 +61,22 @@ def write_table(
     on both routes -- dynamic partitionOverwriteMode for paths,
     ``overwritePartitions()`` for catalog tables -- which is what the
     checkpoint/resume driver relies on.
+
+    Defaults are symmetric across routes: without
+    ``overwrite_partitions`` both the path route and the catalog route
+    ERROR if the target already exists (``create()``, not
+    createOrReplace — silently replacing a table a user didn't ask to
+    replace is a footgun).  The dynamic overwrite mode is scoped to this
+    one write via a writer option, never set on the shared session.
     """
     if is_path(ident):
         writer = df.write.mode(
             "overwrite" if overwrite_partitions else "errorifexists"
         )
         if overwrite_partitions:
-            df.sparkSession.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
+            # per-write scope: a session-level conf change would alter the
+            # semantics of later, unrelated overwrite writes
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.format(fmt).save(ident)
@@ -82,4 +89,4 @@ def write_table(
     if overwrite_partitions:
         v2.overwritePartitions()
     else:
-        v2.createOrReplace()
+        v2.create()

@@ -128,3 +128,31 @@ def test_pre_preserves_whitespace_as_text():
     )
     joined = " ".join(s["content"] for s in segs)
     assert "def" in joined and "return" in joined
+
+
+def test_yield_guard_falls_back_to_grid():
+    # an HTML-looking turn whose DOM parse would discard most characters
+    # (payload hidden in a skip-tag) must fall back to the text-grid path
+    from crrf_det_spark.extract import extract_turn, extract_turn_auto
+
+    text = (
+        "see <div>ok</div>\n<script>"
+        + "var x = 1; " * 300
+        + "</script>"
+    )
+    assert looks_like_html(text)  # dispatch signal alone would misfire
+    assert extract_turn_auto(text) == extract_turn(text)
+
+
+def test_yield_guard_keeps_dom_for_real_html():
+    # genuine marker-less HTML keeps the DOM result: boilerplate strip is a
+    # legitimate (bounded) char reduction
+    from crrf_det_spark.extract import extract_turn_auto
+    from crrf_det_spark.htmlx import html_segments
+
+    text = (
+        "<body><nav><a href='/'>home</a></nav><article><p>"
+        + "actual content words here. " * 40
+        + "</p></article><footer>fine print</footer></body>"
+    )
+    assert extract_turn_auto(text) == html_segments(text)
