@@ -176,6 +176,50 @@ def _scaling_pair(
     }
 
 
+def _mp_worker(text):
+    from crrf_det_spark.extract import extract_turn_auto
+
+    return len(extract_turn_auto(text if isinstance(text, str) else ""))
+
+
+def _mp_control(transcripts_path: str, small: int, big: int,
+                n_rows: int = 100_000) -> dict:
+    """Plain multiprocessing.Pool over the IDENTICAL kernel and data —
+    the engine-free control for the big scaling pair.  Whatever
+    efficiency the Pool reaches at `big` workers is this box's
+    memory-bandwidth/GIL-free ceiling; the Spark pair should be judged
+    against it, not against a theoretical 1.0 (single-box 32-thread runs
+    are bandwidth-bound; a real 4x-larger CLUSTER adds memory channels
+    too, which neither measurement can show)."""
+    import multiprocessing as mp
+
+    import pyarrow.dataset as ds
+
+    texts = (
+        ds.dataset(transcripts_path)
+        .head(n_rows, columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    secs = {}
+    for procs in (small, big):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(_mp_worker, texts, chunksize=256)
+            secs[procs] = time.time() - t0
+    tps_s, tps_b = len(texts) / secs[small], len(texts) / secs[big]
+    return {
+        "n_turns": len(texts),
+        "cores_N": small,
+        "cores_4N": big,
+        "sec_N": round(secs[small], 3),
+        "sec_4N": round(secs[big], 3),
+        "turns_per_sec_N": round(tps_s, 1),
+        "turns_per_sec_4N": round(tps_b, 1),
+        "scaling_efficiency": round(tps_b / ((big / small) * tps_s), 3),
+    }
+
+
 def main() -> None:
     transcripts_path = os.environ.get(
         "SPARK_GRAFT_BENCH_TRANSCRIPTS", "/tmp/crrf_bench_transcripts"
@@ -198,6 +242,9 @@ def main() -> None:
     # so pair B understates what a 4x-larger CLUSTER would do.
     pair_a = _scaling_pair(transcripts_path, 2, 8, limit=250_000)
     pair_b = _scaling_pair(transcripts_path, max(1, CPUS // 4), CPUS, None)
+    # engine-free control for pair B: plain multiprocessing on the same
+    # kernel/data shows the box's own ceiling at `CPUS` workers
+    mp_ctl = _mp_control(transcripts_path, max(1, CPUS // 4), CPUS)
 
     total = round(sum(times.values()) + pair_b["sec_4N"], 3)
     print(
@@ -212,6 +259,7 @@ def main() -> None:
                     **pair_b,
                     "scaling_pair_2v8": pair_a,
                     "scaling_efficiency_2v8": pair_a["scaling_efficiency"],
+                    "mp_control": mp_ctl,
                 },
             }
         )

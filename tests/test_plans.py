@@ -91,3 +91,55 @@ def test_no_cartesian_products_in_contract_queries(spark, queries):
     for name, fn in queries.items():
         plan = plan_of(fn(spark, SF), mode="simple")
         assert "CartesianProduct" not in plan, name
+
+
+def test_tagging_no_single_partition_window(spark):
+    # the global entry sequence must come from the offsets pattern, not a
+    # row_number() over an empty-partition window (which funnels ALL rows
+    # through one task -- the classic global-index scale killer)
+    from crrf_det_spark.tagging import tagging_entries
+
+    df = spark.createDataFrame(
+        [(f"c{i}", 0, 0, 1, 1, 10, 900) for i in range(50)],
+        "conv_id string, turn_idx int, cindex int, "
+        "box_y0 int, box_x0 int, box_y1 int, box_x1 int",
+    )
+    plan = plan_of(tagging_entries(df, n_partitions=8), mode="simple")
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_search_many_broadcasts_filter_map(spark):
+    # the (filter, term, field, exclude) map must join as a broadcast --
+    # a shuffle join keyed on term would move the postings subset again
+    from crrf_det_spark.search import build_index
+    from crrf_det_spark.search.query import search_many
+
+    segs = spark.createDataFrame(
+        [("c1", 0, 0, "text", "alpha beta 42")],
+        "conv_id string, turn_idx int, cindex int, type string, content string",
+    )
+    idx = build_index(segs)
+    out = search_many(
+        idx,
+        [{"filter_name": "f", "query": "alpha", "labels": ["x"]}],
+        force_numeric=False,
+        n_docs=1,
+    )
+    plan = plan_of(out, mode="simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ingest_stats_single_scan_projection(spark):
+    # ingest derivations must stay a projection over one scan: no
+    # Exchange, no extra jobs
+    from crrf_det_spark.pipeline import ingest_transcripts
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "cast(doc_id as string) conv_id", "0 as turn_idx", "text"
+    )
+    plan = plan_of(ingest_transcripts(df), mode="simple")
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
