@@ -81,9 +81,20 @@ def _bench_dedup_minhash(spark, sf):
 BENCH_ONLY = {"dedup_minhash": _bench_dedup_minhash}
 
 
+def _warm_python_workers(spark) -> None:
+    """One trivial Arrow stage before timing: spins up the Python worker
+    pool + Arrow machinery so the first Python-kernel query isn't charged
+    several seconds of interpreter cold start (JVM queries get the same
+    courtesy from session creation).  Not counted in any query time."""
+    spark.range(256).repartition(64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+
+
 def bench_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    _warm_python_workers(spark)
     qs = entrymod.queries()
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -98,9 +98,19 @@ def minhash_signatures(
                 sigs.append(m_min.astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(
         batches, schema="doc_id long, signature array<long>"
     )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Explicit repartition ahead of a Python kernel: a single-file
+    parquet source arrives as ONE partition and AQE will not widen it,
+    which serializes the mapInPandas stage (repo invariant — see
+    pipeline.salted).  Cost: one round-robin shuffle of (doc_id, text),
+    repaid ~cores-fold in kernel parallelism."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2)
 
 
 def minhash_lsh_pairs(
@@ -140,26 +150,46 @@ def minhash_lsh_pairs(
     scale (a production pipeline would materialize them to a table).
     """
     signatures = signatures.persist()
-    n = signatures.select(F.size("signature")).first()[0]
-    rows_per_band = n // num_bands
+    # band width from the row's own signature length: no driver-side
+    # size-probe job (a .first() here costs a whole extra kernel stage)
+    rows_per_band = (F.size("signature") / num_bands).cast("int")
 
-    # collapse identical signatures: reps carry the band join
-    groups = signatures.groupBy("signature").agg(
-        F.min("doc_id").alias("rep_id"), F.count("*").alias("group_n")
+    # collapse identical signatures WITHOUT re-joining the signature
+    # table: two-level grouping.  Level 1 groups by (signature, salt) and
+    # collects members per salt chunk — arrays bounded at ~group_n/1024,
+    # so even a 100M-doc identical group never materializes one giant
+    # row.  Level 2 reduces chunk minima to the global representative
+    # (arrays bounded at 1024).  Star edges come from two explodes; the
+    # band join then runs over distinct signatures only.
+    _salt_k = 1024
+    chunked = (
+        signatures.withColumn(
+            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_salt_k))
+        )
+        .groupBy("signature", "_salt")
+        .agg(
+            F.min("doc_id").alias("cmin"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .persist()
+    )
+    groups = chunked.groupBy("signature").agg(
+        F.min("cmin").alias("rep_id"),
+        F.collect_list("cmin").alias("cmins"),
     ).persist()
-    # star edges inside each signature group: (rep, member), sig_jaccard 1
+    # member -> chunk-min edges, then chunk-min -> global-rep edges:
+    # connected components equal the full intra-group clique's
     intra = (
-        signatures.alias("m")
-        .join(
-            groups.alias("g"),
-            F.col("m.signature") == F.col("g.signature"),
+        chunked.select(
+            F.col("cmin").alias("doc_a"), F.explode("members").alias("doc_b")
         )
-        .filter(F.col("m.doc_id") > F.col("g.rep_id"))
-        .select(
-            F.col("g.rep_id").alias("doc_a"),
-            F.col("m.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("sig_jaccard"),
+        .filter(F.col("doc_b") != F.col("doc_a"))
+        .unionByName(
+            groups.select(
+                F.col("rep_id").alias("doc_a"), F.explode("cmins").alias("doc_b")
+            ).filter(F.col("doc_b") != F.col("doc_a"))
         )
+        .withColumn("sig_jaccard", F.lit(1.0))
     )
 
     reps = groups.select(F.col("rep_id").alias("doc_id"), "signature")
@@ -169,7 +199,9 @@ def minhash_lsh_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
                 lambda i: F.xxhash64(
-                    F.slice(F.col("signature"), i * rows_per_band + 1, rows_per_band),
+                    F.slice(
+                        F.col("signature"), i * rows_per_band + 1, rows_per_band
+                    ),
                     i,
                 ),
             )
@@ -208,7 +240,7 @@ def minhash_lsh_pairs(
     )
     from ..caching import register
 
-    return register(intra.unionByName(cross), signatures, groups)
+    return register(intra.unionByName(cross), signatures, chunked, groups)
 
 
 def minhash_word_signatures(
@@ -255,7 +287,7 @@ def minhash_word_signatures(
                 sigs.append(m.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "signature": sigs})
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(
         batches, schema="doc_id long, signature array<long>"
     )
 
@@ -377,7 +409,7 @@ def simhash_signatures(
                 out.append(int(np.int64(sig)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return docs.select("doc_id", text_col).mapInPandas(
+    return _spread(docs.select("doc_id", text_col)).mapInPandas(
         batches, schema="doc_id long, simhash long"
     )
 
@@ -673,7 +705,7 @@ def embedding_near_duplicates(
                 }
             )
 
-    bucketed = embeddings.select(id_col, vec_col).mapInPandas(
+    bucketed = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
     )
 

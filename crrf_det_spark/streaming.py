@@ -9,14 +9,27 @@ Arrow-batched extraction kernel per micro-batch, and an append sink with
 exactly-once semantics via the streaming checkpoint.
 
 The kernel is stateless per row, so no watermark/state store is needed --
-late rows extract identically whenever they arrive.  (For event-time
-windowed analytics over the extraction output, standard watermarked
-aggregations compose on top.)
+late rows extract identically whenever they arrive.  On top of it this
+module provides the two streaming shapes the batch layer's metrics
+counters map to:
+
+* ``windowed_turn_metrics`` — event-time windowed ingest metrics with a
+  watermark for late turns (the streaming form of the lineage/progress
+  tables);
+* ``conversation_progress_stream`` — a CUSTOM STATEFUL operator via
+  ``applyInPandasWithState``: per-conversation running totals that
+  survive across micro-batches (the streaming analogue of the
+  reference's polled Redis progress counters,
+  /root/reference/src/task/project.py:36-40 — state lives in the
+  engine's state store with exactly-once semantics instead of a TTL'd
+  side channel).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .pipeline import _extract_batches, EXTRACTION_SCHEMA
@@ -44,6 +57,81 @@ def extract_stream(transcripts: DataFrame) -> DataFrame:
     """
     return transcripts.select("conv_id", "turn_idx", "text").mapInPandas(
         _extract_batches, schema=EXTRACTION_SCHEMA
+    )
+
+
+def windowed_turn_metrics(
+    transcripts: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed ingest metrics: per ts-window turn/char counts
+    with a watermark bounding how long late turns are waited for.  At
+    scale this is one partial+final streaming agg over the state store;
+    the same expression works on a batch DataFrame (watermark ignored).
+    """
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("n_chars"),
+            F.approx_count_distinct("conv_id").alias("n_convs_approx"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_turns",
+            "n_chars",
+            "n_convs_approx",
+        )
+    )
+
+
+_PROGRESS_OUT = (
+    "conv_id string, n_turns long, n_chars long, max_turn_idx int"
+)
+_PROGRESS_STATE = "n_turns long, n_chars long, max_turn_idx int"
+
+
+def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation running totals as a custom stateful operator
+    (``applyInPandasWithState``): each micro-batch updates the
+    conversation's state (turns seen, chars seen, highest turn index)
+    and emits the refreshed snapshot.
+
+    The state store gives exactly-once accumulation across restarts via
+    the streaming checkpoint — the engine-native replacement for the
+    reference's hand-maintained, TTL-expiring progress keys.  Use with
+    ``outputMode("update")``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n_turns, n_chars, max_t = (
+            state.get if state.exists else (0, 0, -1)
+        )
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_chars += int(pdf["text"].str.len().fillna(0).sum())
+            if len(pdf):
+                max_t = max(max_t, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_chars, max_t))
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_chars": [n_chars],
+                "max_turn_idx": [max_t],
+            }
+        )
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        update,
+        _PROGRESS_OUT,
+        _PROGRESS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
 
 

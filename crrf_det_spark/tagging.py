@@ -210,3 +210,28 @@ def write_tagging_batches(entries: DataFrame, path: str) -> None:
         .partitionBy("batch_index")
         .json(path)
     )
+
+
+def pack_tagging_archive(batches_path: str, archive_path: str) -> int:
+    """The ``pack_tagging`` analogue (/root/reference/src/task/
+    project.py:268-286): walk the batch tree and zip every JSON part,
+    preserving the batch_index=N directory layout as archive names.
+
+    Driver-side by design, exactly like the reference: the input is the
+    already-sampled tagging output (thousands of entries), orders of
+    magnitude smaller than the corpus, and a zip is inherently a
+    single-writer format.  Returns the number of files archived.
+    """
+    import os
+    import zipfile
+
+    n = 0
+    with zipfile.ZipFile(archive_path, "w", zipfile.ZIP_DEFLATED) as zo:
+        for root, _dirs, files in os.walk(batches_path):
+            for fn in sorted(files):
+                if not fn.endswith(".json"):
+                    continue
+                full = os.path.join(root, fn)
+                zo.write(full, os.path.relpath(full, batches_path))
+                n += 1
+    return n

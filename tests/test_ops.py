@@ -220,8 +220,21 @@ class TestDedup:
             minhash_signatures(df, num_hashes=16), num_bands=4
         ).collect()
         elapsed = time.time() - t0
+        # two-level star edges: n-1 edges whose connected components merge
+        # all n docs into one cluster (clique-equivalent under closure)
         assert len(got) == n - 1
-        assert all(r.doc_a == 0 and r.sig_jaccard == 1.0 for r in got)
+        assert all(r.sig_jaccard == 1.0 for r in got)
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in got:
+            parent[find(r.doc_a)] = find(r.doc_b)
+        assert len({find(i) for i in range(n)}) == 1
         assert elapsed < 60, f"adversarial corpus took {elapsed:.1f}s"
 
     def test_simhash_collapse_identical(self, spark):

@@ -62,3 +62,79 @@ def test_recursive_read(spark, tmp_path):
     all_rows = read_corpus(spark, str(tmp_path / "corpus"))
     assert all_rows.count() == 3 * len(rows)
     assert os.path.isdir(str(tmp_path / "corpus" / "u1/b/c"))
+
+
+def test_windowed_turn_metrics_stream(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from crrf_det_spark.streaming import (
+        read_transcript_stream,
+        windowed_turn_metrics,
+    )
+
+    in_path = str(tmp_path / "in_w")
+    n = _write_corpus(spark, in_path)
+    m = windowed_turn_metrics(read_transcript_stream(spark, in_path))
+    q = (
+        m.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from win_metrics")
+    # every turn lands in exactly one window
+    assert got.agg(F.sum("n_turns")).first()[0] == n
+    batch_chars = (
+        spark.read.parquet(in_path)
+        .agg(F.sum(F.length("text")))
+        .first()[0]
+    )
+    assert got.agg(F.sum("n_chars")).first()[0] == batch_chars
+
+
+def test_conversation_progress_stateful_stream(spark, tmp_path):
+    from crrf_det_spark import synth
+    from crrf_det_spark.schema import TRANSCRIPT_SCHEMA
+    from crrf_det_spark.streaming import (
+        conversation_progress_stream,
+        read_transcript_stream,
+    )
+
+    in_path = str(tmp_path / "in_s")
+    rows, _ = synth.generate(n_convs=4, seed=11)
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+    df.write.mode("overwrite").parquet(in_path)
+
+    prog = conversation_progress_stream(read_transcript_stream(spark, in_path))
+    q = (
+        prog.writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    # second micro-batch: one more turn appended to an existing conv --
+    # the state store must carry the earlier totals across batches
+    first = {
+        r.conv_id: (r.n_turns, r.n_chars)
+        for r in spark.sql("select * from conv_progress").collect()
+    }
+    some_conv = sorted(first)[0]
+    extra = [r for r in rows if r["conv_id"] == some_conv][:1]
+    extra = [dict(extra[0], turn_idx=9999, text="tail turn")]
+    spark.createDataFrame(extra, schema=TRANSCRIPT_SCHEMA).write.mode(
+        "append"
+    ).parquet(in_path)
+    q.processAllAvailable()
+    q.stop()
+
+    latest = {}
+    for r in spark.sql("select * from conv_progress").collect():
+        prev = latest.get(r.conv_id)
+        if prev is None or r.n_turns > prev[0]:
+            latest[r.conv_id] = (r.n_turns, r.n_chars, r.max_turn_idx)
+    assert latest[some_conv][0] == first[some_conv][0] + 1
+    assert latest[some_conv][1] == first[some_conv][1] + len("tail turn")
+    assert latest[some_conv][2] == 9999

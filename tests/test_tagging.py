@@ -137,3 +137,23 @@ class TestTagging:
             d for d in os.listdir(out) if d.startswith("batch_index=")
         )
         assert dirs == ["batch_index=0", "batch_index=4", "batch_index=8"]
+
+    def test_pack_archive(self, segments, tmp_path):
+        import zipfile
+
+        from crrf_det_spark.tagging import (
+            pack_tagging_archive,
+            write_tagging_batches,
+        )
+
+        out = str(tmp_path / "tagging2")
+        write_tagging_batches(tagging_entries(segments, batch_size=4), out)
+        archive = str(tmp_path / "tagging.zip")
+        n = pack_tagging_archive(out, archive)
+        assert n >= 3
+        with zipfile.ZipFile(archive) as z:
+            names = z.namelist()
+        assert all(name.startswith("batch_index=") for name in names)
+        assert {name.split("/")[0] for name in names} == {
+            "batch_index=0", "batch_index=4", "batch_index=8",
+        }
