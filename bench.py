@@ -63,9 +63,13 @@ def _session(cores: int):
 
 def _bench_dedup_minhash(spark, sf):
     # the SCALE path: char-shingle minhash signatures + multi-row-band LSH
-    # with sig-jaccard verification -- the identical operation round 1
-    # benched under this key, kept for cross-round comparability.  (The
-    # same-named CONTRACT query is now the exact-verified variant, whose
+    # with sig-jaccard verification -- the same algorithm family and
+    # parameters round 1 benched under this key.  The round-2
+    # implementation is optimized (identical-signature collapse,
+    # star-edge output, explicit kernel spread, no driver size probe), so
+    # absolute times compare an improved implementation of the same
+    # operation, not byte-identical code -- BENCH.md records the change.
+    # (The same-named CONTRACT query is the exact-verified variant, whose
     # one-row bands degrade to near-all-pairs on this synthetic dense
     # corpus -- an oracle-checking construction, not the 100TB shape, so
     # it is excluded from the bench like dedup_jaccard.)

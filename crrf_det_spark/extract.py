@@ -301,11 +301,14 @@ def extract_turn_auto(text: str) -> list[dict]:
 
     Mixed-prose guard: without a decisive document marker the dispatch
     heuristic can misfire on prose that quotes markup; in that ambiguous
-    band the DOM result is accepted only if it yields at least half the
-    characters of the plain-text parse (the DOM path legitimately strips
-    boilerplate, but a quoted-fragment misparse discards most of the
-    turn).  The double parse is paid only for marker-less HTML-looking
-    turns."""
+    band the DOM result is accepted only if it keeps at least half of the
+    turn's VISIBLE text (the input with tags stripped).  Comparing
+    against visible text — not the raw parse — means a short tag-dense
+    fragment like a bare ``<table>`` still takes the DOM path (its
+    visible text is just the cell contents), while a turn whose payload
+    the DOM parser discards (e.g. inside a skip-tag) falls back to the
+    text grid.  The double parse is paid only for marker-less
+    HTML-looking turns."""
     if not text:
         return extract_turn(text)
     from .htmlx import has_html_marker
@@ -314,10 +317,13 @@ def extract_turn_auto(text: str) -> list[dict]:
         return html_segments(text)
     if looks_like_html(text):
         dom = html_segments(text)
-        grid = extract_turn(text)
         dom_chars = sum(len(s["content"]) for s in dom)
-        grid_chars = sum(len(s["content"]) for s in grid)
-        return dom if dom_chars * 2 >= grid_chars else grid
+        visible_chars = len(
+            "".join(re.sub(r"<[^>]*>", " ", text).split())
+        )
+        if dom_chars * 2 >= visible_chars:
+            return dom
+        return extract_turn(text)
     return extract_turn(text)
 
 

@@ -25,6 +25,21 @@ from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
 
+# Java regex \s == [ \t\n\x0B\f\r] (ASCII).  Python str.split() splits on
+# UNICODE whitespace (\xa0,  , ...), which would make the Python-side
+# signature kernels disagree with the Spark/DuckDB \s+ verify stages and
+# oracles on documents containing non-ASCII whitespace.  All kernel
+# tokenization goes through this to keep the token sets identical.
+import re as _re
+
+_WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _ws_tokens(text) -> list[str]:
+    if not isinstance(text, str) or not text:
+        return []
+    return [t for t in _WS_RE.split(text) if t]
+
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical docs: (digest, n_docs, doc_ids).
@@ -270,7 +285,7 @@ def minhash_word_signatures(
         for pdf in it:
             sigs = []
             for text in pdf[text_col].values:
-                toks = set(text.split()) if isinstance(text, str) else set()
+                toks = set(_ws_tokens(text))
                 if not toks:
                     sigs.append([_MERSENNE] * num_hashes)
                     continue
@@ -391,7 +406,7 @@ def simhash_signatures(
         for pdf in it:
             out = []
             for text in pdf[text_col].values:
-                toks = text.split() if isinstance(text, str) else []
+                toks = _ws_tokens(text)
                 if not toks:
                     out.append(0)
                     continue
@@ -705,9 +720,12 @@ def embedding_near_duplicates(
                 }
             )
 
+    # persisted: the size aggregate and the join below are two plan
+    # branches over this Python-kernel output — without the persist the
+    # bucketize kernel (and its shuffle) runs twice
     bucketed = _spread(embeddings.select(id_col, vec_col)).mapInPandas(
         bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
-    )
+    ).persist()
 
     # block-pair salting: s blocks per bucket (1 unless the bucket is hot);
     # a vector in block b joins every task (min(b,j), max(b,j)), j < s
@@ -772,8 +790,11 @@ def embedding_near_duplicates(
             }
         )
 
-    return (
+    from ..caching import register
+
+    return register(
         expanded.groupBy("bucket", "_bi", "_bj")
         .applyInPandas(pairs, schema="doc_a long, doc_b long, cosine double")
-        .distinct()
+        .distinct(),
+        bucketed,
     )

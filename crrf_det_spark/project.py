@@ -43,11 +43,17 @@ def run_filters(
     the returned DataFrame when done with it; after that no cached RDDs
     remain (asserted in tests/test_search.py).
     """
+    # postings cached for the duration of the call: the n_docs count and
+    # search_many's term-subset scan otherwise each re-run the whole
+    # upstream index build
+    postings = postings.persist()
     n_docs = postings.select("conv_id", "turn_idx", "cindex").distinct().count()
     out = search_many(
         postings, filters, force_numeric=force_numeric, n_docs=n_docs
     )
-    return materialize(out)
+    out = materialize(out)
+    postings.unpersist()
+    return out
 
 
 def segment_labels(filter_hits: DataFrame) -> DataFrame:

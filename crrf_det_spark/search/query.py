@@ -74,9 +74,7 @@ def search(
     """
     q = parse_query(terms)
     if not q.includes:
-        return postings.sparkSession.createDataFrame(
-            [], "conv_id string, turn_idx int, cindex array<int>, score double"
-        )
+        return _empty_hits(postings)
     if force_numeric:
         q.includes.append((None, "numericvalue"))
 
@@ -146,6 +144,47 @@ def search(
     )
 
 
+def _empty_hits(postings: DataFrame, with_filter_cols: bool = False) -> DataFrame:
+    """Zero-row hits frame whose conv_id/turn_idx/cindex types are DERIVED
+    from the postings table (a hardcoded schema would mismatch callers
+    whose ids are longs, breaking later unions)."""
+    out = (
+        postings.limit(0)
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.sort_array(F.collect_list("cindex")).alias("cindex"),
+            F.sum(F.lit(0.0)).alias("score"),
+        )
+    )
+    if with_filter_cols:
+        out = out.withColumn("filter_name", F.lit(None).cast("string")).withColumn(
+            "labels", F.lit(None).cast("array<string>")
+        )
+    return out
+
+
+def _normalize_includes(
+    includes: list[tuple[str | None, str]],
+) -> list[tuple[str | None, str]]:
+    """Collapse duplicate include entries per query the way ``search()``'s
+    row-level OR filter implicitly does: exact duplicates merge, and a
+    term that appears both field-pinned and unpinned (or pinned to two
+    different fields) becomes one unpinned entry — the OR of its match
+    conditions admits the same rows, n_matched counts distinct TERMS, and
+    df is taken over the matched subset, so this is exactly search()'s
+    behavior.  Without it, a joined term map would score one postings row
+    once per matching map entry (double-counting, e.g. a query already
+    containing 'numericvalue' plus the forced include)."""
+    norm: dict[str, str | None] = {}
+    for fieldname, term in includes:
+        if term in norm:
+            if norm[term] != fieldname:
+                norm[term] = None
+        else:
+            norm[term] = fieldname
+    return [(f, t) for t, f in norm.items()]
+
+
 def search_many(
     postings: DataFrame,
     filters: list[dict],
@@ -179,15 +218,13 @@ def search_many(
             continue
         if force_numeric:
             q.includes.append((None, "numericvalue"))
+        q.includes = _normalize_includes(q.includes)
+        q.excludes = sorted(set(q.excludes))
         parsed.append((f["filter_name"], q, f.get("labels", [])))
 
     spark = postings.sparkSession
     if not parsed:
-        return spark.createDataFrame(
-            [],
-            "conv_id string, turn_idx int, cindex array<int>, score double,"
-            " filter_name string, labels array<string>",
-        )
+        return _empty_hits(postings, with_filter_cols=True)
 
     if n_docs is None:
         n_docs = (

@@ -94,7 +94,9 @@ _PROGRESS_OUT = (
 _PROGRESS_STATE = "n_turns long, n_chars long, max_turn_idx int"
 
 
-def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
+def conversation_progress_stream(
+    transcripts: DataFrame, idle_timeout_min: int | None = None
+) -> DataFrame:
     """Per-conversation running totals as a custom stateful operator
     (``applyInPandasWithState``): each micro-batch updates the
     conversation's state (turns seen, chars seen, highest turn index)
@@ -104,10 +106,31 @@ def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
     the streaming checkpoint — the engine-native replacement for the
     reference's hand-maintained, TTL-expiring progress keys.  Use with
     ``outputMode("update")``.
+
+    State retention: on an unbounded stream new conv_ids keep arriving,
+    so state must be evicted or the store grows forever.  Set
+    ``idle_timeout_min`` on production unbounded streams: a conversation
+    idle that long (processing time) is dropped, like the reference's
+    5-day Redis key TTL.  The default is ``None`` (keep state
+    indefinitely) because ProcessingTimeTimeout makes the engine
+    schedule continuous timeout-check micro-batches — correct on a
+    long-running trigger'd stream, but it busy-loops drive-to-completion
+    harnesses (``processAllAvailable``) and costs trigger churn on
+    bounded-keyspace streams that don't need eviction.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_min
+        else GroupStateTimeout.NoTimeout
+    )
+
     def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # idle conversation: drop the state, emit nothing
+            state.remove()
+            return
         n_turns, n_chars, max_t = (
             state.get if state.exists else (0, 0, -1)
         )
@@ -117,6 +140,8 @@ def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
             if len(pdf):
                 max_t = max(max_t, int(pdf["turn_idx"].max()))
         state.update((n_turns, n_chars, max_t))
+        if idle_timeout_min:
+            state.setTimeoutDuration(int(idle_timeout_min) * 60 * 1000)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
@@ -131,7 +156,7 @@ def conversation_progress_stream(transcripts: DataFrame) -> DataFrame:
         _PROGRESS_OUT,
         _PROGRESS_STATE,
         "update",
-        GroupStateTimeout.NoTimeout,
+        timeout_conf,
     )
 
 

@@ -142,7 +142,12 @@ def global_entry_ids(
             seen += len(pdf)
             yield pdf
 
-    return parts.mapInPandas(assign, schema=out_schema)
+    from .caching import register
+
+    # `parts` stays persisted while the returned plan is live (it pins
+    # the partitioning the offsets were computed from); callers drop it
+    # with caching.materialize/release
+    return register(parts.mapInPandas(assign, schema=out_schema), parts)
 
 
 def tagging_entries(
@@ -185,9 +190,16 @@ def tagging_entries(
         .withColumn("crop_width", F.col("crop_x1") - F.col("crop_x0"))
         .withColumn("crop_height", F.col("crop_y1") - F.col("crop_y0"))
     )
-    return out.withColumn(
-        "crop_sizes",
-        crop_split_sizes(F.col("crop_width"), F.col("crop_height")),
+    from .caching import register
+
+    # carry the registered cache of global_entry_ids through the column
+    # derivations (each withColumn returns a fresh DataFrame object)
+    return register(
+        out.withColumn(
+            "crop_sizes",
+            crop_split_sizes(F.col("crop_width"), F.col("crop_height")),
+        ),
+        *getattr(numbered, "_crrf_cached", []),
     )
 
 

@@ -21,6 +21,8 @@ import pandas as pd
 ONLY: set[str] | None = None
 if "--only" in sys.argv:
     i = sys.argv.index("--only")
+    if i + 1 >= len(sys.argv):
+        sys.exit("usage: oracle_check.py [sf_dir] [--only name1,name2]")
     ONLY = set(sys.argv[i + 1].split(","))
     del sys.argv[i : i + 2]
 

@@ -144,6 +144,16 @@ def test_yield_guard_falls_back_to_grid():
     assert extract_turn_auto(text) == extract_turn(text)
 
 
+def test_yield_guard_keeps_dom_for_bare_table_fragment():
+    # a short tag-dense fragment has little visible text but the DOM keeps
+    # essentially all of it -> must stay on the DOM path (table structure)
+    from crrf_det_spark.extract import extract_turn_auto
+
+    segs = extract_turn_auto("<table><tr><td>Q1</td><td>100</td></tr></table>")
+    assert [s["type"] for s in segs] == ["table"]
+    assert segs[0]["rows"] == [["Q1", "100"]]
+
+
 def test_yield_guard_keeps_dom_for_real_html():
     # genuine marker-less HTML keeps the DOM result: boilerplate strip is a
     # legitimate (bounded) char reduction

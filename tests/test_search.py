@@ -204,6 +204,45 @@ class TestProject:
                 )
         assert many == solo
 
+    def test_search_many_duplicate_and_pinned_terms(self, segments_df):
+        # a query already containing the forced numericvalue term, plus a
+        # term listed both field-pinned and unpinned: search() scores each
+        # matching postings row exactly once (row-level OR), so the
+        # one-pass map join must not double-count
+        from crrf_det_spark.search.query import search_many
+
+        filters = [
+            {"filter_name": "dup", "query": "revenue numericvalue", "labels": []},
+            {"filter_name": "pin", "query": "text:revenue revenue", "labels": []},
+        ]
+        idx = build_index(segments_df)
+        many = {
+            (h.filter_name, h.conv_id, h.turn_idx): (list(h.cindex), round(h.score, 9))
+            for h in search_many(idx, filters, force_numeric=True).collect()
+        }
+        solo = {}
+        for f in filters:
+            for h in search(idx, f["query"], force_numeric=True).collect():
+                solo[(f["filter_name"], h.conv_id, h.turn_idx)] = (
+                    list(h.cindex),
+                    round(h.score, 9),
+                )
+        assert many == solo
+
+    def test_search_many_empty_filters_schema_follows_postings(self, spark):
+        # zero-parseable-filters path must derive id types from the
+        # postings (long conv_ids here), not a hardcoded string schema
+        from crrf_det_spark.search.query import search_many
+
+        postings = spark.createDataFrame(
+            [(7, 0, 0, "text", "alpha", 1)],
+            "conv_id long, turn_idx int, cindex int, field string,"
+            " term string, tf long",
+        )
+        out = search_many(postings, [{"filter_name": "x", "query": "", "labels": []}])
+        assert out.count() == 0
+        assert dict(out.dtypes)["conv_id"] == "bigint"
+
     def test_run_filters_releases_all_caches(self, spark, segments_df):
         from crrf_det_spark.caching import release
 

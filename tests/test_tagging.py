@@ -138,6 +138,26 @@ class TestTagging:
         )
         assert dirs == ["batch_index=0", "batch_index=4", "batch_index=8"]
 
+    def test_release_drops_all_caches(self, spark, segments):
+        # checked via the registered handles' storage level, not a global
+        # persistent-RDD count: Spark's ContextCleaner asynchronously
+        # unpersists out-of-scope RDDs from earlier tests, making global
+        # before/after counts flaky
+        from crrf_det_spark.caching import release
+
+        e = tagging_entries(segments, batch_size=4)
+        e.count()
+        cached = list(getattr(e, "_crrf_cached", []))
+        assert cached, "tagging must register its internal persist"
+
+        def held(df):
+            lv = df.storageLevel
+            return lv.useMemory or lv.useDisk
+
+        assert any(held(c) for c in cached)
+        release(e)
+        assert not any(held(c) for c in cached)
+
     def test_pack_archive(self, segments, tmp_path):
         import zipfile
 
