@@ -99,6 +99,42 @@ class TestTagging:
             want_sizes = ref_split(x1 - x0, y1 - y0)
             assert [list(p) for p in got.crop_sizes] == want_sizes, s.conv_id
 
+    def test_crop_split_randomized_equivalence(self, spark):
+        # 400 random geometries in one job vs the direct transcription of
+        # the reference arithmetic (incl. threshold-straddling widths)
+        import numpy as np
+
+        rng = np.random.RandomState(99)
+        ws = np.concatenate(
+            [
+                rng.randint(1, 3200, size=360),
+                np.array([799, 800, 1399, 1400, 1999, 2000, 2047, 2048]),
+                rng.randint(780, 820, size=32),
+            ]
+        )
+        hs = rng.randint(1, 900, size=len(ws))
+        rows = [
+            (int(i), 0, int(0 + h), int(0 + w))
+            for i, (w, h) in enumerate(zip(ws, hs))
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id long, box_x0 int, box_y1 int, box_x1 int"
+        ).withColumn("box_y0", F.lit(0)).withColumn("turn_idx", F.lit(0)) \
+         .withColumn("cindex", F.lit(0))
+        got = {
+            r.conv_id: r
+            for r in tagging_entries(df, batch_size=50, n_partitions=4).collect()
+        }
+        for i, (w, h) in enumerate(zip(ws, hs)):
+            y0, x0, y1, x1 = ref_crop((0, 0, int(h), int(w)), 1.0)
+            r = got[i]
+            assert (r.crop_y0, r.crop_x0, r.crop_y1, r.crop_x1) == (
+                y0, x0, y1, x1,
+            ), (i, w, h)
+            assert [list(p) for p in r.crop_sizes] == ref_split(
+                x1 - x0, y1 - y0
+            ), (i, w, h)
+
     def test_global_ids_dense_and_ordered(self, segments):
         got = (
             tagging_entries(segments, batch_size=4, n_partitions=3)
