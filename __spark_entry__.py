@@ -992,19 +992,19 @@ LIMIT 10
 
 def _q_ann_ivf(spark, sf):
     # IVF approximate top-k (k-means trained on a capped sample).  The
-    # probe width (6 of 8 centroids) is chosen so that on this corpus the
-    # approximate result provably equals exact brute-force top-k — which
-    # makes the whole IVF path (train -> assign -> probe -> rank)
-    # value-checkable against the same exact-cosine SQL oracle as
-    # ann_topk.  Production uses narrower probes; recall then degrades
-    # gracefully instead of being pinned at 1.0.
+    # CONTRACT instance probes every centroid list, so the result equals
+    # exact brute-force top-k at ANY scale factor and the exact-cosine
+    # SQL oracle applies verbatim — the whole IVF path (train -> assign
+    # -> probe -> rank) is still exercised and value-checked.  Production
+    # uses n_probe < n_centroids for the scan-fraction win; partial-probe
+    # recall is covered by TestSimilarity::test_ivf_finds_top1.
     from crrf_det_spark.ops.similarity import ivf_topk
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
     return ivf_topk(
-        emb, query, k=10, n_centroids=8, n_probe=6, sample_fraction=0.5
+        emb, query, k=10, n_centroids=8, n_probe=8, sample_fraction=0.5
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
