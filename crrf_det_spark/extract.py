@@ -316,11 +316,19 @@ def extract_turn_auto(text: str) -> list[dict]:
     if has_html_marker(text):
         return html_segments(text)
     if looks_like_html(text):
+        stripped = re.sub(r"<[^>]*>", " ", text)
+        # markup share: a turn that is overwhelmingly plain text with one
+        # tiny quoted tag is a TEXT turn — its grid layout (columns,
+        # aligned tables) matters more than parsing the fragment, even
+        # though the DOM parse would keep the characters.  (stripped
+        # replaces each tag with one space, so the length difference
+        # undercounts by one char per tag — immaterial at the 5% gate.)
+        tag_chars = len(text) - len(stripped)
+        if tag_chars * 20 < len(text):  # < 5% markup
+            return extract_turn(text)
         dom = html_segments(text)
         dom_chars = sum(len(s["content"]) for s in dom)
-        visible_chars = len(
-            "".join(re.sub(r"<[^>]*>", " ", text).split())
-        )
+        visible_chars = len("".join(stripped.split()))
         if dom_chars * 2 >= visible_chars:
             return dom
         return extract_turn(text)

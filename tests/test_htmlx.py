@@ -166,3 +166,15 @@ def test_yield_guard_keeps_dom_for_real_html():
         + "</p></article><footer>fine print</footer></body>"
     )
     assert extract_turn_auto(text) == html_segments(text)
+
+
+def test_markup_share_gate_keeps_text_turns_on_grid():
+    # a turn that is overwhelmingly plain text with one tiny quoted tag
+    # pair must run the text-grid kernel (layout analysis), even though
+    # the DOM parse would retain the characters
+    from crrf_det_spark.extract import extract_turn, extract_turn_auto
+
+    lines = ["alpha beta gamma %d" % i for i in range(200)]
+    text = "see <div>ok</div>\n" + "\n".join(lines)
+    assert looks_like_html(text)
+    assert extract_turn_auto(text) == extract_turn(text)
