@@ -965,6 +965,81 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _q_dedup_components(spark, sf):
+    # connected-components resolution of a near-dup edge list (the step a
+    # training pipeline runs after any pair-producing dedup op): edges =
+    # exact unigram-Jaccard >= 0.8 pairs; components via alternating
+    # large-star/small-star (ops/components.py); component id = min doc_id
+    # of the cluster.
+    from crrf_det_spark.ops import duplicate_components
+    from crrf_det_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    edges = ngram_jaccard_pairs(d, n=1, threshold=0.8)
+    return duplicate_components(edges).orderBy("doc_id")
+
+
+# shared CTE chain: the same unigram-Jaccard >= 0.8 edge set as
+# _O_DEDUP_JACCARD, symmetrized, then connected components via a recursive
+# transitive-closure CTE (component = min reachable node).  The closure is
+# the ORACLE's luxury at sf0.01 (reach rows = sum of component sizes^2);
+# the Spark side must converge to the same labels through O(log n)
+# star-contraction rounds.
+_CTE_COMPONENTS = """
+WITH RECURSIVE sets AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t <> '')) AS s
+  FROM documents
+), posting AS (
+  SELECT doc_id, len(s) AS ns, unnest(s) AS shingle FROM sets
+), inter AS (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         l.ns AS na, r.ns AS nb, count(*) AS n_common
+  FROM posting l JOIN posting r
+    ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE n_common / (na + nb - n_common) >= 0.8
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM edges
+), reach(n, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+)
+"""
+
+_O_DEDUP_COMPONENTS = _CTE_COMPONENTS + """
+SELECT doc_id, component FROM comp ORDER BY doc_id
+"""
+
+
+def _q_dedup_corpus(spark, sf):
+    # end-to-end "input corpus -> deduplicated corpus": keep one
+    # representative (the component min) per duplicate cluster, pass
+    # singletons through.
+    from crrf_det_spark.ops import duplicate_components, keep_representatives
+    from crrf_det_spark.ops.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    comps = duplicate_components(ngram_jaccard_pairs(d, n=1, threshold=0.8))
+    return keep_representatives(d.select("doc_id"), comps).orderBy("doc_id")
+
+
+_O_DEDUP_CORPUS = _CTE_COMPONENTS + """
+SELECT d.doc_id
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.doc_id = c.component
+ORDER BY d.doc_id
+"""
+
+
 def _q_ann_topk(spark, sf):
     # brute-force cosine top-k against a fixed deterministic query vector
     from crrf_det_spark.ops import brute_force_topk
@@ -1357,6 +1432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_jaccard": _q_dedup_jaccard,
         "dedup_jaccard3": _q_dedup_jaccard3,
+        "dedup_components": _q_dedup_components,
+        "dedup_corpus": _q_dedup_corpus,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "text_tokens": _q_text_tokens,
@@ -1404,12 +1481,22 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _O_DEDUP_EXACT,
         "dedup_jaccard": _O_DEDUP_JACCARD,
         "dedup_jaccard3": _O_DEDUP_JACCARD3,
+        "dedup_components": _O_DEDUP_COMPONENTS,
+        "dedup_corpus": _O_DEDUP_CORPUS,
         "ann_topk": _O_ANN,
         # ann_ivf's probe set provably covers the exact top-k on this
         # corpus, so the brute-force cosine oracle applies verbatim
         "ann_ivf": _O_ANN,
+        # CAVEAT (expected tail risk, not regression, if a future sf ever
+        # mismatches): dedup_minhash's equality with its exact-Jaccard
+        # oracle is probabilistic — per-pair miss probability (1-j)^32
+        # (~2^-74 at j=0.8), so empirical rather than by construction.
         "dedup_minhash": _O_DEDUP_MINHASH,
         "dedup_simhash": _O_DEDUP_SIMHASH,
+        # CAVEAT: dedup_embedding relies on numpy-matmul vs DuckDB
+        # sequential float summation agreeing at sign/threshold/rounding
+        # boundaries; verified at sf0.001/sf0.01 (keep both in the
+        # cross-scale oracle_check rotation).
         "dedup_embedding": _oracle_dedup_embedding(),
         "text_tokens": _O_TEXT_TOKENS,
         "text_fingerprint": _O_TEXT_FP,

@@ -17,6 +17,10 @@ from .dedup import (  # noqa: F401
     embedding_near_duplicates,
     hyperplanes,
 )
+from .components import (  # noqa: F401
+    duplicate_components,
+    keep_representatives,
+)
 from .similarity import brute_force_topk, lsh_bucket_topk  # noqa: F401
 from .textstats import (  # noqa: F401
     language_id,

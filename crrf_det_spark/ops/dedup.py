@@ -132,82 +132,93 @@ def minhash_lsh_pairs(
     signatures: DataFrame,
     num_bands: int = 16,
     threshold: float = 0.7,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """LSH banding -> candidate pairs -> signature-jaccard verify.
 
     Returns (doc_a, doc_b, sig_jaccard) with doc_a < doc_b and
     sig_jaccard >= threshold.
 
-    Hot-bucket defense (the adversarial case: a corpus of near-identical
-    docs puts everything in every band bucket, making the per-bucket
-    self-join O(n^2) in ONE task): identical signatures are COLLAPSED
-    first — one representative (min doc_id) per distinct signature joins
-    in the bands, and members of a signature group are emitted as star
-    edges (rep, member, 1.0), which is the transitive-closure-equivalent
-    linear representation of the intra-group clique.  An all-identical
-    corpus therefore costs one hash agg + n-1 output rows instead of a
-    single-task n^2 join (stress-tested in tests/test_ops.py).  Buckets
-    that are hot WITHOUT signature equality keep their O(B^2) cost — at
-    that point the docs genuinely collide in a band and the work is the
+    ``collapse_identical=True`` (the default, the scale shape): identical
+    signatures are COLLAPSED before banding — one representative (min
+    doc_id) per distinct signature joins in the bands, and members of a
+    signature group are emitted as star edges (rep, member, 1.0), the
+    transitive-closure-equivalent linear representation of the
+    intra-group clique.  The output is then a dedup GRAPH whose connected
+    components equal the naive all-pairs graph's (feed it to
+    ``duplicate_components``), not the full clique edge list.  This is
+    the hot-bucket defense: an all-identical corpus costs one hash agg +
+    a broadcast join + n-1 output rows instead of a single-task O(n^2)
+    band join (stress-tested in tests/test_ops.py).  Buckets that are
+    hot WITHOUT signature equality keep their O(B^2) cost — at that
+    point the docs genuinely collide in a band and the work is the
     answer — but B is bounded by the distinct-signature count per
     bucket, which real corpora keep small.
 
-    Cross-group pairs are emitted rep-to-rep; the output is a dedup
-    graph whose connected components equal the naive all-pairs graph's
-    (what downstream keep-one-per-component consumes), not the full
-    clique edge list.
+    ``collapse_identical=False`` restores the full per-pair edge list
+    (every colliding pair with its sig_jaccard) — the exact-output shape
+    for callers that need all edges, at the cost of the quadratic
+    hot-bucket risk the default defends against.
+
+    The collapse is one aggregation with no per-group array
+    materialization: groups carry only (signature, rep_id, n_members),
+    and star edges come from joining the signature table against the
+    n_members >= 2 groups — empty on an all-unique corpus (AQE folds the
+    join to a broadcast of zero rows, so unique corpora pay almost
+    nothing for the defense), one broadcast row on an all-identical one
+    (each partition emits its star edges map-side; a skewed non-broadcast
+    case degrades to an AQE skew-split shuffle join on the signature
+    hash).
 
     The signature table is persisted here: the plan references it several
-    times (size probe, band join, verify join, group expansion), and
-    without the persist each branch would re-run the upstream signature
+    times (group agg, star join, band join, verify join), and without
+    the persist each branch would re-run the upstream signature
     mapInPandas job.  Signatures are ~num_hashes longs per doc -- orders
     of magnitude smaller than the corpus text -- so this holds at any
     scale (a production pipeline would materialize them to a table).
     """
     signatures = signatures.persist()
+    cached = [signatures]
     # band width from the row's own signature length: no driver-side
     # size-probe job (a .first() here costs a whole extra kernel stage)
     rows_per_band = (F.size("signature") / num_bands).cast("int")
 
-    # collapse identical signatures WITHOUT re-joining the signature
-    # table: two-level grouping.  Level 1 groups by (signature, salt) and
-    # collects members per salt chunk — arrays bounded at ~group_n/1024,
-    # so even a 100M-doc identical group never materializes one giant
-    # row.  Level 2 reduces chunk minima to the global representative
-    # (arrays bounded at 1024).  Star edges come from two explodes; the
-    # band join then runs over distinct signatures only.
-    _salt_k = 1024
-    chunked = (
-        signatures.withColumn(
-            "_salt", F.pmod(F.xxhash64("doc_id"), F.lit(_salt_k))
+    if collapse_identical:
+        groups = (
+            signatures.groupBy("signature")
+            .agg(
+                F.min("doc_id").alias("rep_id"),
+                F.count("*").alias("n_members"),
+            )
+            .persist()
         )
-        .groupBy("signature", "_salt")
-        .agg(
-            F.min("doc_id").alias("cmin"),
-            F.collect_list("doc_id").alias("members"),
+        cached.append(groups)
+        # star edges: members of duplicated-signature groups point at the
+        # group rep.  The join key is the 64-bit signature hash (cheap
+        # shuffle/broadcast key); the array-equality residual keeps the
+        # join exact under hash collisions.
+        dup = groups.filter(F.col("n_members") >= 2).select(
+            F.xxhash64("signature").alias("_sh"),
+            F.col("signature").alias("_sig"),
+            "rep_id",
         )
-        .persist()
-    )
-    groups = chunked.groupBy("signature").agg(
-        F.min("cmin").alias("rep_id"),
-        F.collect_list("cmin").alias("cmins"),
-    ).persist()
-    # member -> chunk-min edges, then chunk-min -> global-rep edges:
-    # connected components equal the full intra-group clique's
-    intra = (
-        chunked.select(
-            F.col("cmin").alias("doc_a"), F.explode("members").alias("doc_b")
+        intra = (
+            signatures.withColumn("_sh", F.xxhash64("signature"))
+            .join(dup, "_sh")
+            .filter(
+                (F.col("signature") == F.col("_sig"))
+                & (F.col("doc_id") != F.col("rep_id"))
+            )
+            .select(
+                F.col("rep_id").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(1.0).alias("sig_jaccard"),
+            )
         )
-        .filter(F.col("doc_b") != F.col("doc_a"))
-        .unionByName(
-            groups.select(
-                F.col("rep_id").alias("doc_a"), F.explode("cmins").alias("doc_b")
-            ).filter(F.col("doc_b") != F.col("doc_a"))
-        )
-        .withColumn("sig_jaccard", F.lit(1.0))
-    )
-
-    reps = groups.select(F.col("rep_id").alias("doc_id"), "signature")
+        reps = groups.select(F.col("rep_id").alias("doc_id"), "signature")
+    else:
+        intra = None
+        reps = signatures.select("doc_id", "signature")
     banded = reps.select(
         "doc_id",
         F.posexplode(
@@ -255,7 +266,8 @@ def minhash_lsh_pairs(
     )
     from ..caching import register
 
-    return register(intra.unionByName(cross), signatures, chunked, groups)
+    out = cross if intra is None else intra.unionByName(cross)
+    return register(out, *cached)
 
 
 def minhash_word_signatures(
@@ -330,9 +342,16 @@ def minhash_near_pairs_verified(
     sigs = minhash_word_signatures(
         docs, text_col=text_col, num_hashes=num_hashes, seed=seed
     ).persist()
-    banded = sigs.select(
-        "doc_id", F.posexplode("signature").alias("band", "bucket")
-    )
+    # empty/whitespace-only docs carry the all-_MERSENNE sentinel
+    # signature; they would collide with EACH OTHER in every band,
+    # producing C(n_empty, 2) candidate pairs that the null-jaccard
+    # verify then discards — a quadratic hot-bucket for free.  Their
+    # jaccard is undefined (empty word sets), so drop them pre-banding;
+    # signature values are < _MERSENNE for any non-empty token set, so
+    # checking one element identifies the sentinel.
+    banded = sigs.filter(
+        F.element_at("signature", 1) != F.lit(_MERSENNE)
+    ).select("doc_id", F.posexplode("signature").alias("band", "bucket"))
     cand = (
         banded.alias("l")
         .join(
@@ -680,6 +699,7 @@ def embedding_near_duplicates(
     num_planes: int = 12,
     seed: int = 3,
     max_bucket: int = 10_000,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs via random-hyperplane LSH buckets +
     exact within-bucket cosine.
@@ -702,14 +722,24 @@ def embedding_near_duplicates(
     only the size-probe aggregation.  Results are identical to the
     unsalted join (asserted in tests/test_ops.py).
     """
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(num_planes, dim, seed)
-    planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
-
+    # the hyperplane set is derived from (num_planes, dim, seed) alone,
+    # so each kernel task regenerates it deterministically from the
+    # width of its own first Arrow batch — no driver-side `.first()` dim
+    # probe (repo invariant: a probe costs one extra kernel job per
+    # call) and no broadcast.  Callers that know the dimension can pass
+    # it to pin the planes independently of the data.
     def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        P = planes_b.value.astype("float64")
+        P = None if dim is None else hyperplanes(
+            num_planes, dim, seed
+        ).astype("float64")
         for pdf in it:
+            if not len(pdf):
+                continue
             V = np.vstack(pdf[vec_col].values).astype("float64")
+            if P is None:
+                P = hyperplanes(num_planes, V.shape[1], seed).astype(
+                    "float64"
+                )
             signs = (V @ P.T) > 0
             keys = (signs * (1 << np.arange(P.shape[0]))).sum(axis=1)
             yield pd.DataFrame(

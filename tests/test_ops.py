@@ -64,6 +64,21 @@ class TestDedup:
         assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
         assert not any(4 in p or 5 in p for p in pairs)
 
+    def test_minhash_lsh_full_edge_list(self, docs_df):
+        # collapse_identical=False restores the per-pair edge list: the
+        # identical docs 1/2 each pair with near-dup 3 (full clique),
+        # where the default graph shape collapses 2 behind rep 1
+        sigs = minhash_signatures(docs_df)
+        full = {
+            (r.doc_a, r.doc_b): r.sig_jaccard
+            for r in minhash_lsh_pairs(
+                sigs, threshold=0.5, collapse_identical=False
+            ).collect()
+        }
+        assert full[(1, 2)] == 1.0
+        assert (1, 3) in full and (2, 3) in full
+        assert full[(1, 3)] == full[(2, 3)]
+
     def test_minhash_deterministic(self, docs_df):
         a = minhash_signatures(docs_df).orderBy("doc_id").collect()
         b = minhash_signatures(docs_df).orderBy("doc_id").collect()
@@ -256,6 +271,83 @@ class TestDedup:
         assert len(stars) == n - 2
         reps = {r.doc_a for r in stars}
         assert reps == {0, 1}
+
+
+class TestComponents:
+    def test_adversarial_chain_graph(self, spark):
+        # a path graph is the worst case for label propagation (diameter
+        # n); large-star/small-star must converge in O(log n) rounds
+        n = 200
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        from crrf_det_spark.ops import duplicate_components
+
+        comps = duplicate_components(edges).collect()
+        assert len(comps) == n
+        assert {r.component for r in comps} == {0}
+
+    def test_matches_union_find(self, spark):
+        rng = np.random.RandomState(9)
+        pairs = {
+            tuple(sorted((int(a), int(b))))
+            for a, b in rng.randint(0, 400, size=(300, 2))
+            if a != b
+        }
+        from crrf_det_spark.ops import duplicate_components
+
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        got = {
+            r.doc_id: r.component
+            for r in duplicate_components(edges).collect()
+        }
+        # python union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        want_nodes = {x for p in pairs for x in p}
+        want = {}
+        roots = {}
+        for x in sorted(want_nodes):
+            r = find(x)
+            roots.setdefault(r, x)  # min node per root (sorted order)
+            want[x] = roots[r]
+        assert got == want
+
+    def test_end_to_end_dedup_resolution(self, spark, docs_df):
+        # the full pipeline the module exists for: near-dup edges ->
+        # components -> deduplicated corpus with one rep per cluster
+        from crrf_det_spark.ops import (
+            duplicate_components,
+            keep_representatives,
+            minhash_near_pairs_verified,
+        )
+
+        edges = minhash_near_pairs_verified(docs_df, threshold=0.5)
+        comps = duplicate_components(edges)
+        rows = {r.doc_id: r.component for r in comps.collect()}
+        assert rows == {1: 1, 2: 1, 3: 1}  # docs 1,2,3 cluster; 1 is rep
+        survivors = sorted(
+            r.doc_id
+            for r in keep_representatives(docs_df, comps).collect()
+        )
+        assert survivors == [1, 4, 5, 6]
+
+    def test_empty_edges(self, spark):
+        from crrf_det_spark.ops import duplicate_components
+
+        edges = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert duplicate_components(edges).count() == 0
 
 
 class TestSimilarity:
