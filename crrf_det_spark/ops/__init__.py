@@ -21,7 +21,16 @@ from .components import (  # noqa: F401
     duplicate_components,
     keep_representatives,
 )
-from .similarity import brute_force_topk, lsh_bucket_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    brute_force_topk,
+    ivf_assign,
+    ivf_topk,
+    ivf_topk_indexed,
+    ivf_train,
+    ivf_write_index,
+    lsh_bucket_topk,
+    probe_centroids,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

@@ -4,11 +4,15 @@ Images/audio/video ride as ``binary`` columns with a metadata struct; the
 decode / feature-extract / resize / frame-sample kernels run as Arrow-batched
 mapInPandas stages.  Uncompressed netpbm payloads (PGM ``P5`` gray, PPM
 ``P6`` rgb) are decoded for REAL in pure numpy -- no external library.
-Compressed formats (jpeg/png/...) need codec libraries not present in this
-container, so those are STUBS: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (seeded
-from the payload hash) exercises the full Spark plumbing -- schema,
-partitioning, UDF signature, batch shapes -- end to end.
+Compressed formats (jpeg/png/... images, non-PCM audio) use OPTIONAL codec
+libraries: when Pillow / soundfile are importable (any normal cluster),
+``decode_image`` / ``decode_audio`` decode them for real; in containers
+without them (like this one) those formats fall back to the documented
+stub behavior -- ``decode_image`` raises NotImplementedError unless
+``fake=True`` (a deterministic fake decoder seeded from the payload hash
+exercises the full Spark plumbing: schema, partitioning, UDF signature,
+batch shapes), and ``decode_audio`` raises NotImplementedError.  Both
+branches are tested (the codec branch via an injected fake module).
 """
 
 from __future__ import annotations
@@ -93,31 +97,79 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     return img.mean(axis=2).astype(np.uint8)
 
 
+def _pillow_decode(payload: bytes) -> np.ndarray | None:
+    """Optional-dependency image decode: returns a uint8 grayscale array
+    via Pillow when it is importable, None when it is not (this
+    container).  A Pillow decode FAILURE (corrupt/unknown payload) maps
+    to the same ``ValueError`` contract as malformed netpbm, so batch
+    callers skip the row either way."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with Image.open(io.BytesIO(payload or b"")) as im:
+            return np.asarray(im.convert("L"), dtype=np.uint8)
+    except Exception as e:  # Pillow raises codec-specific types
+        raise ValueError(f"malformed image payload: {e}") from e
+
+
 def decode_image(payload: bytes, meta, fake: bool = False) -> np.ndarray:
     """binary payload -> uint8 grayscale array.
 
-    Netpbm (P5/P6) payloads decode for real; anything else needs a codec
-    library this container lacks -- raise NotImplementedError unless the
-    caller opts into the deterministic fake decoder.  A payload that
-    LOOKS like netpbm but is truncated/corrupt raises
-    ``ValueError('malformed netpbm payload: ...')`` -- batch callers
+    Netpbm (P5/P6) payloads decode for real in pure numpy; other formats
+    decode through Pillow WHEN IT IS IMPORTABLE (any normal cluster).
+    Without Pillow, non-netpbm formats raise NotImplementedError unless
+    the caller opts into the deterministic fake decoder.  A payload that
+    looks decodable but is truncated/corrupt raises
+    ``ValueError('malformed ... payload: ...')`` -- batch callers
     (extract_features) catch it and skip the row."""
     if payload and payload[:2] in (b"P5", b"P6"):
         return _parse_pnm(payload)
+    img = _pillow_decode(payload)
+    if img is not None:
+        return img
     if not fake:
         raise NotImplementedError(
             "real decode implemented for netpbm P5/P6 only; other formats "
-            "require an image library not present in this container -- "
+            "require Pillow, which is not importable in this container -- "
             "pass fake=True for the deterministic stub"
         )
     return _fake_decode(payload, meta["width"] if meta else 8, meta["height"] if meta else 8)
 
 
+def _soundfile_decode(payload: bytes) -> tuple[np.ndarray, int] | None:
+    """Optional-dependency audio decode via soundfile (flac/ogg/...);
+    None when the library is not importable (this container)."""
+    try:
+        import soundfile as sf
+    except ImportError:
+        return None
+    import io
+
+    x, rate = sf.read(io.BytesIO(payload), dtype="float32", always_2d=True)
+    return x.mean(axis=1).astype(np.float32), int(rate)
+
+
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Pure-numpy PCM WAV decode -> (mono float32 samples in [-1, 1],
-    sample_rate).  Handles 8/16/32-bit integer PCM (format 1) and 32-bit
-    float PCM (format 3), multi-channel reduced by mean.  Compressed
-    codecs raise NotImplementedError."""
+    """Audio payload -> (mono float32 samples in [-1, 1], sample_rate).
+
+    PCM WAV decodes for real in pure numpy (8/16/32-bit integer PCM
+    format 1 and 32-bit float PCM format 3, multi-channel reduced by
+    mean).  Other containers/codecs decode through soundfile WHEN IT IS
+    IMPORTABLE; without it they raise NotImplementedError."""
+    try:
+        return _decode_wav_pcm(payload)
+    except NotImplementedError:
+        got = _soundfile_decode(payload)
+        if got is not None:
+            return got
+        raise
+
+
+def _decode_wav_pcm(payload: bytes) -> tuple[np.ndarray, int]:
     if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE payload")
     pos = 12

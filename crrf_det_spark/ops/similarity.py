@@ -9,6 +9,12 @@
   multi-probe (query probes its bucket and single-bit-flip neighbours), so
   only a fraction of the table is scored.  Recall < 1.0 by construction;
   num_planes/probe radius trade recall for cost.
+* IVF family: ivf_train (bounded driver-side k-means) + ivf_assign (one
+  vectorized nearest-centroid pass) + ivf_write_index (materialize the
+  assignment PARTITIONED BY centroid at ingest) + ivf_topk_indexed
+  (partition-pruned probe: reads n_probe/n_centroids of the data, no
+  per-query kernel pass).  ivf_topk is the one-shot train+assign+probe
+  variant for ad-hoc queries.
 """
 
 from __future__ import annotations
@@ -55,29 +61,21 @@ def brute_force_topk(
     )
 
 
-def ivf_topk(
+def ivf_train(
     embeddings: DataFrame,
-    query: list[float],
-    k: int = 10,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     n_centroids: int = 16,
-    n_probe: int = 3,
     sample_fraction: float = 0.2,
     seed: int = 11,
     iters: int = 8,
     max_train: int = 100_000,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k.
+) -> np.ndarray:
+    """Train IVF centroids: k-means on a driver-side sample.
 
-    Train: k-means on a driver-side sample (centroids are tiny: n_centroids
-    x dim floats, broadcast).  The sample is hard-capped at ``max_train``
-    rows so the driver collect stays bounded no matter the table size.
-    Assign: one vectorized pass bucketing every row to its nearest
-    centroid.  Probe: score exact cosine only inside the ``n_probe``
-    centroids nearest to the query.  At 100TB the assignment pass is done
-    once at ingest and persisted as a partition column, so a query touches
-    n_probe/n_centroids of the data.
+    Centroids are tiny (n_centroids x dim floats) and the sample is
+    hard-capped at ``max_train`` rows, so the driver collect stays
+    bounded no matter the table size.  This is the ONLY sanctioned
+    driver-side collect in the similarity module.
     """
     sample = np.vstack(
         [
@@ -99,16 +97,27 @@ def ivf_topk(
             m = assign == c
             if m.any():
                 cent[c] = sample[m].mean(axis=0)
+    return cent
 
-    q = np.asarray(query, dtype="float64")
-    probe = np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
-    probe_set = {int(x) for x in probe}
-    cent_b = embeddings.sparkSession.sparkContext.broadcast(cent)
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One vectorized pass bucketing every row to its nearest centroid:
+    (id, vec, centroid).  Centroids ride in broadcast (tiny)."""
+    cent_b = embeddings.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype="float64")
+    )
 
     def assign_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         C = cent_b.value
         c_sq = (C ** 2).sum(axis=1)[None, :]
         for pdf in it:
+            if not len(pdf):
+                continue
             V = np.vstack(pdf[vec_col].values).astype("float64")
             d = (V ** 2).sum(axis=1)[:, None] + c_sq - 2.0 * (V @ C.T)
             yield pd.DataFrame(
@@ -119,12 +128,104 @@ def ivf_topk(
                 }
             )
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+    return embeddings.select(id_col, vec_col).mapInPandas(
         assign_batches,
         schema=f"{id_col} long, {vec_col} array<float>, centroid long",
     )
+
+
+def probe_centroids(
+    centroids: np.ndarray, query: list[float], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` centroid ids nearest (L2) to the query."""
+    q = np.asarray(query, dtype="float64")
+    cent = np.asarray(centroids, dtype="float64")
+    return sorted(
+        int(x) for x in np.argsort(((cent - q) ** 2).sum(axis=1))[:n_probe]
+    )
+
+
+def ivf_write_index(
+    assigned: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Materialize the ingest-time IVF index: the assigned table written
+    partitioned BY CENTROID, so an indexed query's centroid filter prunes
+    whole partitions at the file listing — a query then reads
+    n_probe/n_centroids of the data instead of kerneling the full corpus.
+    (On a production cluster this is an Iceberg ``partitioned_by(centroid)``
+    table via sources.write_table; plain partitioned parquet carries the
+    identical pruning semantics here.)
+
+    Rows are repartitioned on the centroid column first so each partition
+    directory gets O(shuffle partitions / n_centroids) files, not one
+    file per (input partition x centroid).
+    """
+    assigned.repartition("centroid").write.mode("overwrite").partitionBy(
+        "centroid"
+    ).parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe: int = 3,
+) -> DataFrame:
+    """Approximate top-k over a materialized IVF index (``ivf_write_index``).
+
+    The centroid IN-filter is a partition-column predicate: Catalyst
+    prunes the non-probed centroid directories before any IO (asserted in
+    tests/test_plans.py), so the scan touches only the probed fraction of
+    the corpus and there is NO per-query assignment kernel pass — the
+    100 TB shape the one-shot ``ivf_topk`` docstring promises.
+    """
+    probes = probe_centroids(centroids, query, n_probe)
+    assigned = spark.read.parquet(index_path)
     return (
-        assigned.filter(F.col("centroid").isin(sorted(probe_set)))
+        assigned.filter(F.col("centroid").isin(probes))
+        .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 3,
+    sample_fraction: float = 0.2,
+    seed: int = 11,
+    iters: int = 8,
+    max_train: int = 100_000,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k, one-shot: train + assign +
+    probe in a single query (the whole corpus passes through the
+    assignment kernel).  For repeated queries over a static corpus,
+    materialize the assignment once with ``ivf_train`` + ``ivf_assign`` +
+    ``ivf_write_index`` and query via ``ivf_topk_indexed``, which prunes
+    to the probed centroid partitions instead.
+    """
+    cent = ivf_train(
+        embeddings,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        sample_fraction=sample_fraction,
+        seed=seed,
+        iters=iters,
+        max_train=max_train,
+    )
+    probes = probe_centroids(cent, query, n_probe)
+    assigned = ivf_assign(embeddings, cent, vec_col=vec_col, id_col=id_col)
+    return (
+        assigned.filter(F.col("centroid").isin(probes))
         .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -89,7 +89,8 @@ def crop_split_sizes(crop_w, crop_h):
 
 
 def global_entry_ids(
-    df: DataFrame, order_cols: list[str], n_partitions: int = 32
+    df: DataFrame, order_cols: list[str], n_partitions: int = 32,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Add a 1-based dense global ``entry_id`` following ``order_cols``
     (the reference's sequential entry_count, project.py:172-174) without
@@ -102,13 +103,25 @@ def global_entry_ids(
     mapInPandas.  The cache pins one physical partitioning for both the
     count pass and the assignment pass, which is what makes the ids
     stable.  Driver state is O(partitions), not O(rows).
+
+    Durability: id stability relies on the persisted range-partitioned
+    layout being REUSED by both passes.  If cached partitions AND the
+    backing shuffle files are both lost (executor loss mid-job), a
+    re-executed exchange may re-sample range boundaries, making the
+    collected offsets inconsistent with the recomputed partitioning.
+    One persisted layout per job is safe on a healthy cluster (shuffle
+    output itself survives a cached-partition eviction); for long
+    multi-hour production runs pass ``checkpoint=True`` to pin the
+    layout as a materialized lineage cut instead of a cache.
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
     parts = (
         df.repartitionByRange(n_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .persist()
+    )
+    parts = (
+        parts.localCheckpoint(eager=True) if checkpoint else parts.persist()
     )
     sizes = (
         parts.select(F.spark_partition_id().alias("pid"))

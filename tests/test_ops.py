@@ -379,6 +379,43 @@ class TestSimilarity:
         assert got[0].vec_id == 1
         assert got[0].cosine == pytest.approx(1.0, abs=1e-6)
 
+    def test_ivf_indexed_equals_oneshot(self, spark, tmp_path):
+        # the materialized-index path (train once, assign once, write
+        # partitioned by centroid) must return exactly what the one-shot
+        # per-query-kernel variant returns, for several queries
+        from crrf_det_spark.ops import (
+            ivf_assign,
+            ivf_topk,
+            ivf_topk_indexed,
+            ivf_train,
+            ivf_write_index,
+        )
+
+        rng = np.random.RandomState(3)
+        rows = [
+            (i, rng.normal(size=8).astype("float32").tolist())
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kw = dict(n_centroids=5, sample_fraction=1.0, seed=11, iters=8)
+        cent = ivf_train(df, **kw)
+        path = str(tmp_path / "ivf_index")
+        ivf_write_index(ivf_assign(df, cent), path)
+        for qi in (0, 17, 101):
+            q = rows[qi][1]
+            one_shot = [
+                (r.vec_id, round(r.cosine, 9))
+                for r in ivf_topk(df, q, k=5, n_probe=2, **kw).collect()
+            ]
+            indexed = [
+                (r.vec_id, round(r.cosine, 9))
+                for r in ivf_topk_indexed(
+                    spark, path, cent, q, k=5, n_probe=2
+                ).collect()
+            ]
+            assert indexed == one_shot
+            assert indexed[0][0] == qi  # self is top-1
+
 
 class TestTextStats:
     def test_language_id(self, spark):
@@ -417,6 +454,59 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             decode_image(b"x", {"width": 4, "height": 4}, fake=False)
+
+    def test_pillow_branch_dispatch(self, monkeypatch):
+        # the optional-codec branch: inject a fake PIL so the dispatch
+        # runs in this Pillow-less container (the stub branch is the
+        # test above)
+        import sys
+        import types
+
+        from crrf_det_spark.ops import multimodal as mm
+
+        class _FakeIm:
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def convert(self, mode):
+                assert mode == "L"
+                return np.full((4, 6), 7, dtype=np.uint8)
+
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = types.SimpleNamespace(open=lambda b: _FakeIm())
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        img = mm.decode_image(b"\x89PNG-ish", None, fake=False)
+        assert img.shape == (4, 6) and img.dtype == np.uint8
+
+        # a codec failure maps to the skip-row ValueError contract
+        def _boom(b):
+            raise OSError("cannot identify image file")
+
+        fake_pil.Image = types.SimpleNamespace(open=_boom)
+        with pytest.raises(ValueError, match="malformed image payload"):
+            mm.decode_image(b"\x89PNG-ish", None, fake=False)
+
+    def test_soundfile_branch_dispatch(self, monkeypatch):
+        import sys
+        import types
+
+        from crrf_det_spark.ops import multimodal as mm
+
+        # stub branch first: without soundfile, non-WAV raises
+        with pytest.raises(NotImplementedError):
+            mm.decode_audio(b"OggS....")
+
+        fake_sf = types.ModuleType("soundfile")
+        fake_sf.read = lambda b, dtype=None, always_2d=None: (
+            np.full((10, 2), 0.5, dtype="float32"),
+            22050,
+        )
+        monkeypatch.setitem(sys.modules, "soundfile", fake_sf)
+        x, rate = mm.decode_audio(b"OggS....")
+        assert rate == 22050 and x.shape == (10,) and np.allclose(x, 0.5)
 
     def test_real_pnm_decode(self):
         import numpy as np

@@ -157,3 +157,63 @@ def test_signature_kernels_are_spread(spark):
         plan = plan_of(op(d), mode="simple")
         assert "REPARTITION_BY_NUM" in plan, op.__name__
         assert "MapInPandas" in plan, op.__name__
+
+
+def test_ivf_indexed_query_prunes_partitions(spark, tmp_path):
+    # the materialized IVF index is partitioned by centroid; the indexed
+    # query's probe filter must reach the scan as a PARTITION filter
+    # (directory pruning before IO, no per-query kernel pass) — the
+    # 100TB contract of ops/similarity.py's ingest path
+    import numpy as np
+
+    from crrf_det_spark.ops import (
+        ivf_assign,
+        ivf_topk_indexed,
+        ivf_train,
+        ivf_write_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, rng.normal(size=8).astype("float32").tolist()) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = ivf_train(df, n_centroids=4, sample_fraction=1.0)
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(ivf_assign(df, cent), path)
+    q = ivf_topk_indexed(spark, path, cent, rows[0][1], k=3, n_probe=2)
+    plan = plan_of(q)
+    scan_chunk = plan[plan.index("Scan parquet"):]
+    part_line = next(
+        ln for ln in scan_chunk.splitlines() if "PartitionFilters" in ln
+    )
+    assert "centroid" in part_line and "IN" in part_line, part_line
+    # no assignment kernel in the query plan
+    assert "MapInPandas" not in plan
+
+
+def test_no_driver_side_probes_outside_whitelist():
+    # repo invariant (CLAUDE.md): no driver-side .first()/.collect() size
+    # probes inside operators — each one costs a whole extra job.  The
+    # only sanctioned driver collects are bounded, documented sites:
+    #   - components._checksum: O(1)-row loop-control aggregate
+    #   - similarity.ivf_train: the max_train-capped k-means sample
+    #   - tagging.global_entry_ids: O(partitions) offset rows
+    import pathlib
+
+    allowed = {
+        ("ops/components.py", 1),
+        ("ops/similarity.py", 1),
+        ("tagging.py", 1),
+    }
+    pkg = pathlib.Path("/root/repo/crrf_det_spark")
+    found = {}
+    for py in pkg.rglob("*.py"):
+        n = 0
+        for ln in py.read_text().splitlines():
+            code = ln.split("#", 1)[0]
+            if ".first()" in code or ".collect()" in code:
+                n += 1
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    assert {(f, n) for f, n in found.items()} == allowed, found

@@ -155,6 +155,13 @@ class TestTagging:
         )
         got = global_entry_ids(df, ["k"], n_partitions=13).orderBy("k").collect()
         assert [r.entry_id for r in got] == list(range(1, 998))
+        # checkpoint=True (production durability mode) assigns identically
+        ck = (
+            global_entry_ids(df, ["k"], n_partitions=13, checkpoint=True)
+            .orderBy("k")
+            .collect()
+        )
+        assert [r.entry_id for r in ck] == list(range(1, 998))
 
     def test_meta(self, segments):
         e = tagging_entries(segments, batch_size=4)
