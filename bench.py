@@ -95,20 +95,42 @@ def _warm_python_workers(spark) -> None:
     ).count()
 
 
-def bench_queries(spark) -> dict[str, float]:
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
+def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+    """Each headline query runs N_RUNS times; the reported figure is the
+    MEDIAN (round-2 cross-round deltas were inside the single-run noise
+    band of this shared box — 55.0-66.6s across identical runs — so
+    single-run numbers are not decision-grade; VERDICT.md round 2 #3).
+    Runs iterate round-robin (all queries, then all again) so one
+    machine-wide stall inflates at most one run of each query, not all
+    three runs of one query.  Returns (medians, per-query stats)."""
+    import statistics
+
     import __spark_entry__ as entrymod
 
     _warm_python_workers(spark)
     qs = entrymod.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = BENCH_ONLY.get(name) or qs[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        _ = n
-    return times
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _run in range(N_RUNS):
+        for name in HEADLINE:
+            fn = BENCH_ONLY.get(name) or qs[name]
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.count()
+            samples[name].append(round(time.time() - t0, 3))
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    stats = {
+        n: {
+            "median": medians[n],
+            "min": round(min(v), 3),
+            "max": round(max(v), 3),
+            "runs": v,
+        }
+        for n, v in samples.items()
+    }
+    return medians, stats
 
 
 def bench_extraction(spark, transcripts_path: str) -> tuple[float, int]:
@@ -245,7 +267,7 @@ def main() -> None:
     # extraction scaling pairs churn the shared driver JVM enough to
     # inflate later multi-stage queries ~4x) ---
     s_big = _session(CPUS)
-    times = bench_queries(s_big)
+    times, query_stats = bench_queries(s_big)
     s_big.stop()
 
     # --- scaling evidence: same job, same input, N vs 4N cores ---
@@ -269,6 +291,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "query_stats": query_stats,
+                "n_runs_per_query": N_RUNS,
+                "noise_note": (
+                    "per-query figures are medians of "
+                    f"{N_RUNS} round-robin in-process runs; single-run "
+                    "wall times on this shared box vary +-20% "
+                    "(BENCH.md round-2 spread 55.0-66.6s) — judge "
+                    "regressions on medians"
+                ),
                 "sf": SF_DIR,
                 "extraction": {
                     **pair_b,

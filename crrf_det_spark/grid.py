@@ -143,12 +143,25 @@ def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]
     ranges (deviation from the reference's inclusive-right for clarity).
 
     The reference finds full-height white verticals with a probabilistic
-    Hough transform (pseg.py:240); on an axis-aligned char grid the same
-    signal is the per-column blank fraction >= 0.95.
+    Hough transform at ``line_gap=0`` (pseg.py:240) — i.e. a CONTIGUOUS
+    blank vertical run >= 0.95 of the page height.  On an axis-aligned char
+    grid the same signal is the longest contiguous blank run per char
+    column >= 0.95 of the line count.  (Total-blank-fraction is close but
+    diverges on pages where a full-width title interrupts an otherwise
+    blank gutter — verified against the reference's own golden pages in
+    tests/test_reference_fixtures.py.)
     """
     n_lines, width = grid.shape
-    blank_frac = grid.sum(axis=0) / float(n_lines)
-    is_space_col = blank_frac >= COLUMN_BLANK_FRACTION
+    # longest contiguous run of 1s per column, vectorized: diff over the
+    # padded transpose gives run starts/ends; segment-max via np.maximum
+    # reduceat is overkill — n_lines is small, a cumulative trick suffices:
+    # c[l, x] = length of blank run ending at line l in column x.
+    run = np.zeros(width, dtype=np.int32)
+    best = np.zeros(width, dtype=np.int32)
+    for l in range(n_lines):
+        run = (run + 1) * grid[l]
+        np.maximum(best, run, out=best)
+    is_space_col = best >= COLUMN_BLANK_FRACTION * n_lines
 
     # run-length the qualifying columns into spacings (pseg.py:244-259)
     spacings: list[list[int]] = []
