@@ -152,15 +152,17 @@ def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]
     tests/test_reference_fixtures.py.)
     """
     n_lines, width = grid.shape
-    # longest contiguous run of 1s per column, vectorized: diff over the
-    # padded transpose gives run starts/ends; segment-max via np.maximum
-    # reduceat is overkill — n_lines is small, a cumulative trick suffices:
-    # c[l, x] = length of blank run ending at line l in column x.
-    run = np.zeros(width, dtype=np.int32)
-    best = np.zeros(width, dtype=np.int32)
-    for l in range(n_lines):
-        run = (run + 1) * grid[l]
-        np.maximum(best, run, out=best)
+    # longest contiguous blank run per char column, fully vectorized (the
+    # kernel runs per turn inside Arrow batches — a python loop over lines
+    # would cost ~n_lines iterations per turn at corpus scale): with
+    # s = cumsum(blank) down each column, the blank-run length ending at
+    # line l is s[l] - s[last zero at or before l]; that last-zero value
+    # is the running max of s masked to content lines (s is nondecreasing),
+    # so three whole-grid ops give every run length at once.
+    s = np.cumsum(grid, axis=0, dtype=np.int32)
+    at_content = np.where(grid == 0, s, 0)
+    last_zero = np.maximum.accumulate(at_content, axis=0)
+    best = (s - last_zero).max(axis=0)
     is_space_col = best >= COLUMN_BLANK_FRACTION * n_lines
 
     # run-length the qualifying columns into spacings (pseg.py:244-259)
