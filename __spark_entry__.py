@@ -1138,6 +1138,45 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _q_text_langid(spark, sf):
+    # language ID (ops/textstats.language_id): stopword-profile argmax over
+    # en/de/fr/es with deterministic last-profile-wins tie-break (Spark's
+    # greatest over (score, index) structs picks the larger index on equal
+    # scores), 'und' when every profile scores zero.  Output is strings
+    # only, so the cross-engine comparison has no float-boundary risk.
+    from crrf_det_spark.ops.textstats import language_id
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).orderBy("doc_id")
+
+
+# mirror of ops/textstats._STOPWORDS — keep in sync (test_ops pins the
+# profile contents via this oracle's green hash at two scale factors)
+_O_TEXT_LANGID = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+    len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','for','that','with','on')))::DOUBLE / greatest(len(tk), 1) AS s_en,
+    len(list_filter(tk, t -> t IN ('der','die','und','das','ist','von','mit','den','nicht','ein')))::DOUBLE / greatest(len(tk), 1) AS s_de,
+    len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','pour','que','dans','une')))::DOUBLE / greatest(len(tk), 1) AS s_fr,
+    len(list_filter(tk, t -> t IN ('el','la','los','las','es','por','que','una','para','con')))::DOUBLE / greatest(len(tk), 1) AS s_es
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+            WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_de, s_fr) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_de) THEN 'de'
+            ELSE 'en' END AS lang
+FROM scores ORDER BY doc_id
+"""
+
+
 # --- rows-only checks (not SQL-expressible; driver records weaker check) ---
 
 def _q_extraction_segments(spark, sf):
@@ -1439,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
         "extraction_segments": _q_extraction_segments,
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
@@ -1501,4 +1541,5 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _O_TEXT_TOKENS,
         "text_fingerprint": _O_TEXT_FP,
         "text_quality": _O_TEXT_QUALITY,
+        "text_langid": _O_TEXT_LANGID,
     }
