@@ -1424,8 +1424,11 @@ ORDER BY score DESC, conv_id, turn_idx
 
 
 def _q_search_tfidf_query(spark, sf):
-    # full boolean search pipeline over documents-as-segments
-    from crrf_det_spark.search import build_index, search
+    # full boolean search pipeline over documents-as-segments, ad-hoc
+    # shape (no prebuilt postings): the substring prefilter keeps the
+    # ngram explode off non-candidate documents; value-identical to the
+    # build_index+search composition (test_search_adhoc_equals_composition)
+    from crrf_det_spark.search import search_adhoc
 
     d = _t(spark, sf, "documents")
     segs = d.select(
@@ -1435,9 +1438,9 @@ def _q_search_tfidf_query(spark, sf):
         F.lit("text").alias("type"),
         F.col("text").alias("content"),
     )
-    idx = build_index(segs, lengths=(1, 2))
-    return search(
-        idx, "hash join -scan", force_numeric=False, n_docs=d.count()
+    return search_adhoc(
+        segs, "hash join -scan", force_numeric=False, n_docs=d.count(),
+        lengths=(1, 2),
     ).select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
 
 

@@ -174,29 +174,55 @@ def prepare_transcripts(path: str) -> None:
     spark.stop()
 
 
+def _extract_once(transcripts_path: str, cores: int, limit: int | None) -> None:
+    """Subprocess entry: one extraction pass at one parallelism level,
+    prints one JSON line {"sec":..,"n":..}."""
+    s = _session(cores)
+    from pyspark.sql import functions as F
+
+    from crrf_det_spark.pipeline import extract_transcripts
+
+    df = s.read.parquet(transcripts_path)
+    if limit:
+        # deterministic ~limit-row subset without a GlobalLimit (which
+        # would gather to one partition): hash-sample conversations
+        total = df.count()
+        frac_denom = max(1, round(total / limit))
+        df = df.filter(F.pmod(F.hash("conv_id"), F.lit(frac_denom)) == 0)
+    t0 = time.time()
+    n = extract_transcripts(df).count()
+    print(json.dumps({"sec": round(time.time() - t0, 3), "n": n}))
+    s.stop()
+
+
 def _scaling_pair(
     transcripts_path: str, small: int, big: int, limit: int | None
 ) -> dict:
     """Run the same extraction job at `small` and `big` cores on the same
-    input (optionally a row-limited prefix) -> throughput + efficiency."""
+    input (optionally a row-limited prefix) -> throughput + efficiency.
+
+    Each measurement runs in a FRESH subprocess (the spark-submit-per-
+    cluster-size shape of the north rule): PySpark's stop() keeps the
+    JVM gateway alive, so a second session in the same process inherits a
+    churned JVM and the later (bigger) leg was systematically penalized —
+    round-2 measured the same 32-core job 2-4x slower in-process than
+    stand-alone."""
+    import subprocess
+
     results = {}
     for cores in (small, big):
-        s = _session(cores)
-        from crrf_det_spark.pipeline import extract_transcripts
-
-        from pyspark.sql import functions as F
-
-        df = s.read.parquet(transcripts_path)
-        if limit:
-            # deterministic ~limit-row subset without a GlobalLimit (which
-            # would gather to one partition): hash-sample conversations
-            total = df.count()
-            frac_denom = max(1, round(total / limit))
-            df = df.filter(F.pmod(F.hash("conv_id"), F.lit(frac_denom)) == 0)
-        t0 = time.time()
-        n = extract_transcripts(df).count()
-        results[cores] = (time.time() - t0, n)
-        s.stop()
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--_extract",
+            transcripts_path, str(cores), str(limit or 0),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True,
+            env={**os.environ, "PYTHONPATH": os.path.dirname(
+                os.path.abspath(__file__))},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        results[cores] = (r["sec"], r["n"])
     sec_s, n_turns = results[small]
     sec_b, _ = results[big]
     tps_s, tps_b = n_turns / sec_s, n_turns / sec_b
@@ -258,6 +284,11 @@ def _mp_control(transcripts_path: str, small: int, big: int,
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--_extract":
+        _extract_once(
+            sys.argv[2], int(sys.argv[3]), int(sys.argv[4]) or None
+        )
+        return
     transcripts_path = os.environ.get(
         "SPARK_GRAFT_BENCH_TRANSCRIPTS", "/tmp/crrf_bench_transcripts"
     )

@@ -20,7 +20,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .index import tfidf_scores
+from .index import build_index, tfidf_scores
+from .normalize import normalize_numbers_col
 
 
 @dataclass
@@ -142,6 +143,55 @@ def search(
         .orderBy(F.desc("score"), "conv_id", "turn_idx"),
         pl,
     )
+
+
+def search_adhoc(
+    segments: DataFrame,
+    terms: str,
+    force_numeric: bool = True,
+    n_docs: int | None = None,
+    lengths: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """One-shot search over raw segments with no prebuilt postings table
+    (the reference's ``s-pdf`` shape, /root/reference/src/s-pdf:1-75).
+
+    Composing ``search(build_index(segments), ...)`` inline explodes and
+    aggregates EVERY document's ngrams: the query's term IN-list cannot
+    push below the generate, so the whole corpus pays index-build cost
+    for a handful of terms.  Here a cheap substring prefilter runs first:
+    keep only segments whose normalized content contains the longest
+    token of at least one include term.  That set is a superset of every
+    include/exclude term's true posting set, so
+
+    * per-term document frequencies are unchanged (df counts exact term
+      postings, all of which survive the prefilter), and
+    * the exclude anti-join is unchanged (it only removes documents that
+      matched every include term, which survive by construction);
+
+    idf uses the FULL corpus ``n_docs``, counted here before filtering
+    when not supplied.  Result is identical to the unfiltered composition
+    (tests/test_search.py::test_search_adhoc_equals_composition).
+    """
+    q = parse_query(terms)
+    if not q.includes:
+        return _empty_hits(build_index(segments.limit(0), lengths))
+    if n_docs is None:
+        n_docs = segments.count()
+    includes = list(q.includes)
+    if force_numeric:
+        includes.append((None, "numericvalue"))
+    norm_l = F.lower(
+        normalize_numbers_col(
+            F.regexp_replace(F.col("content"), r"[\t\n]", " ")
+        )
+    )
+    cond = None
+    for _fieldname, term in includes:
+        tok = max(term.split(), key=len)
+        c = F.contains(norm_l, F.lit(tok))
+        cond = c if cond is None else (cond | c)
+    postings = build_index(segments.filter(cond), lengths)
+    return search(postings, terms, force_numeric=force_numeric, n_docs=n_docs)
 
 
 def _empty_hits(postings: DataFrame, with_filter_cols: bool = False) -> DataFrame:

@@ -118,6 +118,40 @@ class TestIndexAndQuery:
         assert q.includes == [(None, "alpha"), (None, "net revenue"), ("table", "gamma")]
         assert q.excludes == [(None, "beta"), ("text", "delta")]
 
+    @pytest.mark.parametrize(
+        "terms,force_numeric",
+        [
+            ("net revenue", True),
+            ("revenue -guidance", True),
+            ('"net revenue"', False),
+            ("table:steel", False),
+            ("climate", True),
+            ("climate", False),
+            ("revenue 1240", True),
+        ],
+    )
+    def test_search_adhoc_equals_composition(
+        self, spark, segments_df, terms, force_numeric
+    ):
+        # the prefiltered one-shot path must be value-identical to the
+        # build-everything-then-search composition, incl. idf (full-corpus
+        # n_docs) and exclude semantics
+        from crrf_det_spark.search import search_adhoc
+
+        base = search(
+            build_index(segments_df, lengths=(1, 2)),
+            terms,
+            force_numeric=force_numeric,
+        ).collect()
+        fast = search_adhoc(
+            segments_df, terms, force_numeric=force_numeric, lengths=(1, 2)
+        ).collect()
+        canon = lambda rows: sorted(
+            (r.conv_id, r.turn_idx, tuple(r.cindex), round(r.score, 9))
+            for r in rows
+        )
+        assert canon(fast) == canon(base)
+
 
 class TestRegexSearch:
     def test_basic(self, segments_df):
