@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .index import build_index, tfidf_scores
-from .normalize import normalize_numbers_col
 
 
 @dataclass
@@ -159,9 +158,10 @@ def search_adhoc(
     aggregates EVERY document's ngrams: the query's term IN-list cannot
     push below the generate, so the whole corpus pays index-build cost
     for a handful of terms.  Here a cheap substring prefilter runs first:
-    keep only segments whose normalized content contains the longest
-    token of at least one include term.  That set is a superset of every
-    include/exclude term's true posting set, so
+    keep only segments whose raw lowercased content contains the longest
+    token of at least one include term (digit-bearing tokens widen to an
+    any-digit clause — see the inline note).  That set is a superset of
+    every include/exclude term's true posting set, so
 
     * per-term document frequencies are unchanged (df counts exact term
       postings, all of which survive the prefilter), and
@@ -180,15 +180,22 @@ def search_adhoc(
     includes = list(q.includes)
     if force_numeric:
         includes.append((None, "numericvalue"))
-    norm_l = F.lower(
-        normalize_numbers_col(
-            F.regexp_replace(F.col("content"), r"[\t\n]", " ")
-        )
-    )
+    # prefilter on RAW lowercased content — plain byte-search Contains,
+    # no number normalization (running the normalize transform corpus-wide
+    # just to filter would cost as much as the index build it avoids).
+    # Normalization only rewrites digit-bearing tokens (to NUMERICVALUE or
+    # verbatim keeps), so a word token's presence in normalized text
+    # implies the same raw substring, and any normalization-affected term
+    # ('numericvalue' itself, or a kept numeric token like a year) is
+    # covered by the conservative any-digit clause.
+    raw_l = F.lower(F.col("content"))
     cond = None
     for _fieldname, term in includes:
         tok = max(term.split(), key=len)
-        c = F.contains(norm_l, F.lit(tok))
+        if tok == "numericvalue" or any(ch.isdigit() for ch in tok):
+            c = raw_l.rlike("[0-9]")
+        else:
+            c = F.contains(raw_l, F.lit(tok))
         cond = c if cond is None else (cond | c)
     postings = build_index(segments.filter(cond), lengths)
     return search(postings, terms, force_numeric=force_numeric, n_docs=n_docs)

@@ -217,3 +217,35 @@ def test_no_driver_side_probes_outside_whitelist():
         if n:
             found[str(py.relative_to(pkg))] = n
     assert {(f, n) for f, n in found.items()} == allowed, found
+
+
+def test_search_adhoc_prefilter_below_generate(spark, queries):
+    # the ad-hoc search's substring prefilter must run BEFORE the ngram
+    # explode (that placement is its whole point: the term IN-list cannot
+    # push below the Generate, so without the prefilter every document
+    # pays index-build cost).  In the formatted physical plan the
+    # Contains filter must sit deeper in the tree (later lines) than the
+    # Generate node it feeds.
+    # formatted explain numbers nodes bottom-up (scan = 1), so "below the
+    # Generate" means the Contains-filter's node id is SMALLER than the
+    # Generate's id.
+    import re
+
+    plan = plan_of(queries["search_tfidf_query"](spark, SF))
+    lines = plan.splitlines()
+    gen_ids = [
+        int(m.group(1))
+        for ln in lines
+        if (m := re.match(r"\((\d+)\) Generate", ln.strip()))
+    ]
+    contains_filter_id = None
+    current = None
+    for ln in lines:
+        m = re.match(r"\((\d+)\) (\w+)", ln.strip())
+        if m:
+            current = (int(m.group(1)), m.group(2))
+        if "Contains(" in ln and current and current[1] == "Filter":
+            contains_filter_id = current[0]
+            break
+    assert gen_ids and contains_filter_id is not None, plan
+    assert contains_filter_id < min(gen_ids), (contains_filter_id, gen_ids)
