@@ -207,21 +207,11 @@ def _scaling_pair(
     churned JVM and the later (bigger) leg was systematically penalized —
     round-2 measured the same 32-core job 2-4x slower in-process than
     stand-alone."""
-    import subprocess
-
     results = {}
     for cores in (small, big):
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--_extract",
-            transcripts_path, str(cores), str(limit or 0),
-        ]
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, check=True,
-            env={**os.environ, "PYTHONPATH": os.path.dirname(
-                os.path.abspath(__file__))},
+        r = _run_sub(
+            "--_extract", transcripts_path, str(cores), str(limit or 0)
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        r = json.loads(line)
         results[cores] = (r["sec"], r["n"])
     sec_s, n_turns = results[small]
     sec_b, _ = results[big]
@@ -283,23 +273,49 @@ def _mp_control(transcripts_path: str, small: int, big: int,
     }
 
 
+def _run_sub(mode: str, *args: str) -> dict:
+    """Spawn bench.py in a helper mode, return its JSON line.  Every
+    Spark session the bench measures lives in its own subprocess: the
+    parent stays JVM-free, because a stopped PySpark session leaves its
+    gateway JVM alive in-process and measurably degrades every later
+    measurement (round-3 A/B: the same 32-core extraction ran ~2x slower
+    from a parent with a dead session's JVM than stand-alone)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), mode, *args]
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, check=True,
+        env={**os.environ,
+             "PYTHONPATH": os.path.dirname(os.path.abspath(__file__))},
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--_extract":
         _extract_once(
             sys.argv[2], int(sys.argv[3]), int(sys.argv[4]) or None
         )
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--_queries":
+        s = _session(CPUS)
+        times, query_stats = bench_queries(s)
+        print(json.dumps({"times": times, "stats": query_stats}))
+        s.stop()
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--_prepare":
+        prepare_transcripts(sys.argv[2])
+        print(json.dumps({"ok": True}))
+        return
     transcripts_path = os.environ.get(
         "SPARK_GRAFT_BENCH_TRANSCRIPTS", "/tmp/crrf_bench_transcripts"
     )
-    prepare_transcripts(transcripts_path)
+    _run_sub("--_prepare", transcripts_path)
 
-    # --- headline queries at full parallelism (measured FIRST: the
-    # extraction scaling pairs churn the shared driver JVM enough to
-    # inflate later multi-stage queries ~4x) ---
-    s_big = _session(CPUS)
-    times, query_stats = bench_queries(s_big)
-    s_big.stop()
+    # --- headline queries at full parallelism, in their own process ---
+    q = _run_sub("--_queries")
+    times, query_stats = q["times"], q["stats"]
 
     # --- scaling evidence: same job, same input, N vs 4N cores ---
     # pair A (primary): 2 vs 8 cores on a 250k-turn prefix -- both sizes
