@@ -454,10 +454,22 @@ def _q_a9_tfidf(spark, sf):
     # probe vocabulary for a bounded result
     d = _t(spark, sf, "documents")
     vocab = ["hash", "join", "scan", "window", "spark"]
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    # Two-stage prune before the Generate (same shape as search_adhoc's
+    # prefilter): a raw-substring Contains skips docs with no vocab word
+    # at all, and the token ARRAY is filtered to vocab hits before
+    # explode, so the Generate emits only matching tokens instead of the
+    # whole token stream.  Result-identical to explode-then-filter
+    # (substring match is a superset of whitespace-token match).
+    prefilter = None
+    for w in vocab:
+        c = F.col("text").contains(w)
+        prefilter = c if prefilter is None else (prefilter | c)
+    toks = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda t: t.isin(vocab)
+    )
     tf = (
-        d.select("doc_id", F.explode(toks).alias("term"))
-        .filter(F.col("term").isin(vocab))
+        d.filter(prefilter)
+        .select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -501,9 +513,24 @@ def _q_f6_ngrams(spark, sf):
 
     d = _t(spark, sf, "documents")
     probe = ["hash join", "table scan", "sort merge"]
+    # Prune before the Generate: a doc can only yield probe bigram
+    # "x y" if both "x" and "y" occur as raw substrings (tokens may be
+    # separated by any whitespace, so contains("x y") would NOT be a
+    # superset — contains(x) AND contains(y) is), and the gram array is
+    # filtered to probe hits pre-explode so the Generate emits only
+    # matches instead of every bigram.
+    prefilter = None
+    for g in probe:
+        a, b = g.split(" ")
+        c = F.col("text").contains(a) & F.col("text").contains(b)
+        prefilter = c if prefilter is None else (prefilter | c)
+    grams = F.filter(
+        ngrams_col(tokens_col(F.col("text")), (2,)),
+        lambda gr: gr.isin(probe),
+    )
     return (
-        d.select(F.explode(ngrams_col(tokens_col(F.col("text")), (2,))).alias("gram"))
-        .filter(F.col("gram").isin(probe))
+        d.filter(prefilter)
+        .select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
         .orderBy("gram")
