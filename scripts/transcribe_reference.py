@@ -350,6 +350,29 @@ PAGES = [
     ("cargill2022.83", True, True),
     ("tsla2021.123", True, True),
     ("tsla2021.36", True, True),
+    # round-3 full-corpus expansion: every remaining reference golden page
+    ("bp2021.21", True, True),
+    ("bp2021.24", True, True),
+    ("bp2021.25", True, True),
+    ("bp2021.3", True, True),
+    ("eog2021.70", True, True),
+    ("tsla2021.73", True, True),
+    ("cargill2022.15", True, False),
+    ("cargill2022.97", True, False),
+    ("de2021.63", True, False),
+    ("eni2021.49", True, False),
+    ("eni2021.9", True, False),
+    ("eog2021.16", True, False),
+    ("eog2021.19", True, False),
+    ("eog2021.28", True, False),
+    ("eog2021.68", True, False),
+    ("eog2021.9", True, False),
+    ("tsla2021.141", True, False),
+    ("tsla2021.2", True, False),
+    ("tsla2021.68", True, False),
+    ("x2021.27", True, False),
+    ("x2021.64", False, False),
+    ("tsla2021.122", False, False),
 ]
 
 
