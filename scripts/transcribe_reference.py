@@ -409,9 +409,12 @@ def process_page(page: str) -> dict:
         os.path.join(REF_TESTS, "ref_imgs", page + "_01_columns_from_image.png")
     )
     # parity check: the reference's own binarized page is recoverable from
-    # the stage-01 golden (ink under yellow=(127,127,0), under green=(0,127,0))
-    ink_ref = (ref01[..., 0] <= 127) & (ref01[..., 1] <= 127) & (
-        ref01[..., 2] == 0
+    # the stage-01 golden (ink under yellow=(127,127,0), under green=
+    # (0,127,0), and — where a green spacing rect overlaps a yellow column
+    # rect at a boundary — green-over-yellow ink (63,191,0))
+    ink_ref = (ref01[..., 2] == 0) & (
+        ((ref01[..., 0] <= 127) & (ref01[..., 1] <= 127))
+        | ((ref01[..., 0] == 63) & (ref01[..., 1] == 191))
     )
     mismatch = int((ink_ref != (im_bin == 0)).sum())
 

@@ -39,6 +39,24 @@ Pages: tsla2021.14 (two-col + sidebar table), de2021.64 (portrait,
 three stacked tables), cargill2022.73 (single-col wide table),
 x2021.87 (two-col, table + degenerate 1-line grid), adbe2021.28
 (multi-col text page, no tablevspan goldens).
+
+Round-3 expansion: the ENTIRE reference golden corpus (all 30 pages of
+/root/reference/src/tests/test_pseg.py:16) is transcribed.  Beyond the
+curated 8 above, 18 more pages carry full assertions (R3_PAGES) and 4
+are pinned as documented quantization limits (QUANT_LIMIT_PAGES below).
+Two more quantization mechanisms show up at corpus scale, both direction-
+preserving on row TOTALS (conserved on every page):
+
+* a reference group boundary whose pixel gap is sub-10px produces 0
+  blank lines in text space, where it can fall below the soft-split
+  spacing rule -> two reference groups MERGE (cargill2022.97,
+  eog2021.19, eog2021.70).  Only 0-blank-gap boundaries ever merge:
+  every >=1-blank-line boundary still splits (MIN_BLOCK_SPLIT).
+* >=10px leading BETWEEN rows of one reference group produces blank
+  lines INSIDE the group -> extra splits (eni2021.9's airy table).
+* table grids can also GAIN column lines: uniform 'x' char fill squares
+  up ragged text edges into clean full-height gutters the real pixels
+  don't have (bp2021.21 3->6 col lines).
 """
 
 from __future__ import annotations
@@ -87,6 +105,115 @@ GROUP_PARTITIONS = {
     ("tsla2021.36", 0): ([5, 6, 14], [5, 6, 14]),        # exact
 }
 
+# ---------------------------------------------------------------------------
+# round-3 corpus expansion: the remaining 22 reference golden pages
+# ---------------------------------------------------------------------------
+
+# 18 pages with full column/row/group assertions.  Partition divergences
+# are pinned (ref, ours) with the quantization mechanism tagged:
+#   refine = >=10px intra-group leading adds blank lines -> extra splits
+#   merge  = sub-10px ref gap -> 0 blank lines -> boundary vanishes
+# Totals are conserved on every page (asserted separately).
+R3_PAGES = [
+    "bp2021.21",
+    "bp2021.24",
+    "bp2021.25",
+    "bp2021.3",
+    "cargill2022.15",
+    "cargill2022.97",
+    "de2021.63",
+    "eni2021.49",
+    "eni2021.9",
+    "eog2021.16",
+    "eog2021.19",
+    "eog2021.28",
+    "eog2021.70",
+    "tsla2021.122",
+    "tsla2021.141",
+    "tsla2021.2",
+    "tsla2021.68",
+    "tsla2021.73",
+]
+
+R3_GROUP_PARTITIONS = {
+    ("bp2021.21", 0): ([1, 2, 8], [1, 2, 7, 1]),                  # refine
+    ("bp2021.24", 0): ([2, 1, 8], [1, 1, 1, 7, 1]),               # refine
+    ("bp2021.25", 0): ([1, 5, 3], [1, 1, 4, 2, 1]),               # refine
+    ("bp2021.3", 0): ([1, 4, 1, 1], [1, 1, 3, 1, 1]),             # refine
+    ("cargill2022.15", 0): ([4, 7, 5, 4, 4], [4, 1, 6, 5, 4, 4]),  # refine
+    # two 0-blank-gap boundaries vanish (manifest first/last_line shows
+    # gap_before=0 for groups 1 and 2)
+    ("cargill2022.97", 0): ([3, 7, 8, 3, 2, 3], [18, 3, 2, 3]),   # merge
+    ("de2021.63", 0): ([1, 3, 15], [1, 3, 1, 14]),                # refine
+    ("eni2021.49", 0): ([2, 15, 2, 5, 19, 1], [2, 15, 2, 5, 19, 1]),
+    # airy table: >=10px leading between every ref row -> singletons
+    ("eni2021.9", 0): (
+        [3, 9, 6, 2],
+        [2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 1, 1, 1, 1, 1, 1],
+    ),  # refine
+    ("eog2021.16", 0): ([1, 32, 1], [1, 32, 1]),
+    ("eog2021.19", 0): ([1, 18, 7], [1, 24, 1]),       # merge + refine
+    ("eog2021.19", 1): ([3, 7, 11, 7], [3, 7, 11, 7]),
+    ("eog2021.28", 0): (
+        [1, 2, 6, 5, 6, 7], [1, 2, 6, 4, 1, 6, 6, 1],
+    ),  # refine
+    ("eog2021.28", 1): ([6, 7, 7, 7], [6, 7, 7, 7]),
+    # groups 3/4 join group 2 across 0-blank-gap boundaries; both real
+    # blank-line boundaries (gaps 2 and 1) still split
+    ("eog2021.70", 0): ([1, 33, 1], [1, 33, 1]),
+    ("eog2021.70", 1): ([8, 16, 3, 3, 2], [8, 16, 8]),            # merge
+    ("tsla2021.141", 0): ([3, 12, 13, 1], [3, 12, 13, 1]),
+    ("tsla2021.141", 1): ([32], [32]),
+    ("tsla2021.2", 0): ([1, 7, 1], [1, 7, 1]),
+    ("tsla2021.2", 1): ([1, 4, 4, 7, 4, 2, 5], [1, 4, 4, 7, 4, 2, 4, 1]),
+    ("tsla2021.2", 2): ([1, 4, 9, 5, 4, 5], [1, 4, 9, 5, 4, 5]),
+    ("tsla2021.68", 0): ([2, 1], [2, 1]),
+    ("tsla2021.68", 1): ([5, 4, 5, 7], [5, 4, 5, 1, 1, 1, 4]),    # refine
+    ("tsla2021.73", 0): ([2, 1], [2, 1]),
+    ("tsla2021.73", 1): (
+        [1, 16, 8], [1, 8, 1, 5, 1, 1, 1, 1, 1, 5],
+    ),  # refine
+}
+
+# Nondegenerate (>=2x2) table grids, (ref, ours) sorted tuples of
+# (column, n_row_lines, n_col_lines).  Divergences follow from the
+# pinned group partitions (a split group ends the table's row span) and
+# from char-fill gutter squaring (bp2021.21 gains col lines).
+R3_TABLES = {
+    "bp2021.21": ([(0, 7, 3)], [(0, 6, 6)]),
+    "bp2021.24": ([], []),
+    "bp2021.25": ([(0, 4, 7)], [(0, 3, 9)]),
+    "bp2021.3": ([(0, 3, 2)], []),
+    "eog2021.70": (
+        [(0, 32, 2), (1, 2, 2), (1, 2, 2), (1, 7, 2), (1, 15, 2)],
+        [(0, 27, 2), (1, 15, 2)],
+    ),
+    "tsla2021.73": ([(1, 5, 11)], [(1, 2, 6)]),
+}
+
+# 4 pages where 5px/char quantization flips a COLUMN-stage threshold
+# decision; the engine output is pinned so any kernel change surfaces.
+# Causes (verified against the binarized pixels, see git history):
+# * eog2021.68 / eog2021.9: table-heavy pages where uniform char fill
+#   creates spurious full-height gutters -> a third narrow column ->
+#   the (faithful, pseg.py:351-369) narrow-column single-table collapse.
+# * x2021.27: ref keeps a 3-char-wide column at [107,110]; in char
+#   space its gutters quantize under MIN_COLUMN_SPACING and merge.
+# * x2021.64: ref's max interior spacing 172px sits 3% under the
+#   width/4=177.75 collapse gate (-> single column); in char space the
+#   bottom-anchored footer makes the trailing spacing 55 chars >= 34.5
+#   -> no collapse (and the footer row itself quantizes to spacing).
+QUANT_LIMIT_COLUMNS = {
+    "eog2021.68": ([[7, 58], [63, 115]], [[6, 115]]),
+    "eog2021.9": ([[6, 58], [63, 115]], [[6, 115]]),
+    "x2021.27": (
+        [[50, 60], [73, 103], [107, 110], [116, 138]],
+        [[50, 60], [72, 138]],
+    ),
+    "x2021.64": ([[4, 138]], [[4, 71], [74, 83]]),
+}
+QUANT_LIMIT_PAGES = sorted(QUANT_LIMIT_COLUMNS)
+
 
 @pytest.fixture(scope="module")
 def manifest():
@@ -97,7 +224,7 @@ def manifest():
 @pytest.fixture(scope="module")
 def results(manifest):
     out = {}
-    for page in PAGES:
+    for page in PAGES + R3_PAGES + QUANT_LIMIT_PAGES:
         with open(os.path.join(FIXTURE_DIR, page + ".txt")) as f:
             text = f.read()
         grid, _ = occupancy_from_text(text)
@@ -216,3 +343,97 @@ def test_cargill_table_exact(manifest, results):
     assert ours == {0: [(9, 5)]}
     ref = manifest["cargill2022.73"]["tables"][0]
     assert (ref["n_row_lines"], ref["n_col_lines"]) == (9, 5)
+
+
+# ---------------------------------------------------------------------------
+# round-3 corpus expansion
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("page", R3_PAGES + QUANT_LIMIT_PAGES)
+def test_r3_binarize_parity(manifest, page):
+    assert manifest[page]["binarize_mismatch_px"] == 0
+
+
+@pytest.mark.parametrize("page", R3_PAGES)
+def test_r3_columns_match_reference(manifest, results, page):
+    ref = manifest[page]["columns_char"]
+    ours = results[page]["columns"]
+    assert len(ours) == len(ref), (ref, ours)
+    for (rl, rr), (ol, orr) in zip(ref, ours):
+        assert abs(ol - rl) <= 2 and abs(orr - rr) <= 2, (ref, ours)
+
+
+@pytest.mark.parametrize("page", R3_PAGES)
+def test_r3_row_totals_exact(manifest, results, page):
+    # totals survive every quantization mechanism: merges and refines
+    # repartition rows, never drop or invent them
+    for cg in manifest[page].get("row_groups", []):
+        ci = cg["column"]
+        ours = sum(len(rows) for rows in results[page]["column_row_groups"][ci])
+        assert ours == cg["n_rows_total"], (page, ci, ours, cg["n_rows_total"])
+
+
+@pytest.mark.parametrize("page", R3_PAGES)
+def test_r3_group_partitions(manifest, results, page):
+    for cg in manifest[page].get("row_groups", []):
+        ci = cg["column"]
+        ref_sizes = [g["n_rows"] for g in cg["groups"]]
+        our_sizes = [
+            len(rows) for rows in results[page]["column_row_groups"][ci]
+        ]
+        exp_ref, exp_ours = R3_GROUP_PARTITIONS[(page, ci)]
+        assert ref_sizes == exp_ref, (page, ci, ref_sizes)
+        assert our_sizes == exp_ours, (page, ci, our_sizes)
+
+
+@pytest.mark.parametrize("page", R3_PAGES)
+def test_r3_merges_only_at_zero_blank_gaps(manifest, results, page):
+    """A reference boundary may vanish ONLY when its pixel gap produced
+    zero blank text lines; every >=1-blank-line boundary must split
+    (MIN_BLOCK_SPLIT is unconditional in text space)."""
+    for cg in manifest[page].get("row_groups", []):
+        ci = cg["column"]
+        exp_ref, exp_ours = R3_GROUP_PARTITIONS[(page, ci)]
+        if len(exp_ours) >= len(exp_ref):
+            continue  # no merge on this column
+        groups = cg["groups"]
+        # cumulative row counts of surviving engine boundaries
+        our_cuts = set()
+        acc = 0
+        for n in exp_ours[:-1]:
+            acc += n
+            our_cuts.add(acc)
+        acc = 0
+        for prev, cur in zip(groups, groups[1:]):
+            acc += prev["n_rows"]
+            gap = cur["first_line"] - prev["last_line"] - 1
+            if gap >= 1:
+                assert acc in our_cuts, (page, ci, acc, gap)
+
+
+@pytest.mark.parametrize("page", sorted(R3_TABLES))
+def test_r3_table_grids(manifest, results, page):
+    exp_ref, exp_ours = R3_TABLES[page]
+    ref = sorted(
+        (t["column"], t["n_row_lines"], t["n_col_lines"])
+        for t in manifest[page]["tables"]
+        if t["n_row_lines"] >= 2 and t["n_col_lines"] >= 2
+    )
+    ours = sorted(
+        (ci, t[0], t[1])
+        for ci, ts in _nondegenerate_tables(results[page]).items()
+        for t in ts
+    )
+    assert ref == exp_ref, (page, ref)
+    assert ours == exp_ours, (page, ours)
+
+
+@pytest.mark.parametrize("page", QUANT_LIMIT_PAGES)
+def test_quant_limit_columns_pinned(manifest, results, page):
+    exp_ref, exp_ours = QUANT_LIMIT_COLUMNS[page]
+    assert manifest[page]["columns_char"] == exp_ref, (
+        page, manifest[page]["columns_char"],
+    )
+    ours = [list(c) for c in results[page]["columns"]]
+    assert ours == exp_ours, (page, ours)
