@@ -532,6 +532,92 @@ class TestMultimodal:
         got = decode_image(p5_16, None, fake=False)
         assert got.dtype == np.uint8 and got[0, 0] == 0
 
+    def test_kmeans_binarize_black_on_white(self):
+        from crrf_det_spark.ops.multimodal import kmeans_binarize
+
+        # trimodal page: white background dominates, gray transition
+        # ring, dark ink (the reference's n_clusters=3 rationale)
+        img = np.full((40, 40), 230, dtype=np.uint8)
+        img[10:20, 10:20] = 30          # ink block
+        img[9, 9:21] = 128              # transition pixels
+        out, thr = kmeans_binarize(img)
+        # dominant cluster is the 230 background; first 230 pixel is
+        # img[0,0]; 230 >= 127 -> thr = 229
+        assert thr == 229
+        assert out[0, 0] == 255 and out[15, 15] == 0 and out[9, 10] == 0
+        assert set(np.unique(out)) <= {0, 255}
+
+    def test_kmeans_binarize_white_on_black(self):
+        from crrf_det_spark.ops.multimodal import kmeans_binarize
+
+        img = np.full((40, 40), 20, dtype=np.uint8)
+        img[5:15, 5:30] = 240           # light text on dark bg
+        img[4, 5:30] = 100
+        out, thr = kmeans_binarize(img)
+        # dominant is the 20 background; 20 < 127 -> thr = 21: dominant
+        # mode lands on the 0 side, everything else on 255
+        assert thr == 21
+        assert out[0, 0] == 0 and out[10, 10] == 255
+
+    def test_kmeans_binarize_degenerate(self):
+        from crrf_det_spark.ops.multimodal import kmeans_binarize
+
+        # constant image: thr nudges off the single level, whole image
+        # lands on one side (the reference arithmetic does the same)
+        flat = np.full((8, 8), 128, dtype=np.uint8)
+        out, thr = kmeans_binarize(flat)
+        assert thr == 127 and (out == 255).all()
+        # <= n_clusters distinct levels: each level its own cluster
+        two = np.zeros((4, 4), dtype=np.uint8)
+        two[:3] = 200
+        out2, thr2 = kmeans_binarize(two)
+        assert thr2 == 199
+        assert (out2[:3] == 255).all() and (out2[3:] == 0).all()
+        # exact tie: first cluster (lowest level) wins, like the
+        # reference's strict-> scan over label order
+        tie = np.zeros((4, 4), dtype=np.uint8)
+        tie[:2] = 200
+        _out3, thr3 = kmeans_binarize(tie)
+        assert thr3 == 1
+        # empty image does not crash
+        out3, _ = kmeans_binarize(np.empty((0, 0), dtype=np.uint8))
+        assert out3.size == 0
+
+    def test_kmeans_binarize_deterministic(self):
+        from crrf_det_spark.ops.multimodal import kmeans_binarize
+
+        rng = np.random.RandomState(11)
+        img = rng.choice(
+            [15, 18, 120, 133, 240, 244], size=(64, 64), p=[0.1, 0.1, 0.05, 0.05, 0.4, 0.3]
+        ).astype(np.uint8)
+        o1, t1 = kmeans_binarize(img)
+        o2, t2 = kmeans_binarize(img.copy())
+        assert t1 == t2 and np.array_equal(o1, o2)
+        # dominant light mode -> background white, dark modes are ink
+        assert o1[img == 15].min() == 0 and o1[img == 244].max() == 255
+
+    def test_binarize_images_through_spark(self, spark):
+        from crrf_det_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            binarize_images,
+        )
+
+        page = np.full((12, 10), 250, dtype=np.uint8)
+        page[4:8, 2:8] = 10
+        p5 = b"P5\n10 12\n255\n" + page.tobytes()
+        rows = [
+            (1, "image", "image/x-portable-graymap", p5, (10, 12, None, None)),
+            (2, "image", "image/x-portable-graymap", b"P5\nbroken", (4, 4, None, None)),
+            (3, "audio", "audio/wav", b"RIFF....", (None, None, 100, None)),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = binarize_images(df, fake=False).collect()
+        # malformed payload skipped, non-image skipped
+        assert [r.media_id for r in out] == [1]
+        r = out[0]
+        assert r.threshold == 249 and r.width == 10 and r.height == 12
+        assert abs(r.ink_ratio - (4 * 6) / (12 * 10)) < 1e-9
+
     def test_real_wav_decode_and_features(self, spark):
         import struct
 
