@@ -1471,6 +1471,91 @@ def _q_search_tfidf_query(spark, sf):
     ).select("conv_id", "turn_idx", F.round("score", 6).alias("score"))
 
 
+def _q_mm_binarize(spark, sf):
+    """P4 contract query: adaptive-KMeans image binarization
+    (ops/multimodal.py kmeans_binarize, reference pseg.py:114-146) over
+    deterministic 8x8 two-level PGM payloads synthesized from the
+    documents table, driven through the REAL pipeline: payload bytes ->
+    pure-numpy P5 decode -> full kernel -> mapInPandas stage.
+
+    The two-level construction (ink 0..100, background 127..254, 1..31
+    ink pixels of 64) pins the kernel to its closed-form decision branch
+    (every distinct level is its own cluster; background strictly
+    dominant), so threshold = bg-1 and ink_ratio = n_ink/64 are
+    independently recomputable in SQL.  The iterative Lloyd's path is
+    covered by tests/test_ops.py TestMultimodal."""
+    import pandas as pd
+
+    from crrf_det_spark.ops.multimodal import binarize_images
+
+    d = _t(spark, sf, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 101)
+        .cast("int").alias("ink_level"),
+        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 128 + 127)
+        .cast("int").alias("bg_level"),
+        (F.conv(F.substring(hx, 13, 6), 16, 10).cast("long") % 31 + 1)
+        .cast("int").alias("n_ink"),
+    )
+    # explicit partition count ahead of the Python stages (repo invariant:
+    # AQE will not widen a single-partition source under mapInPandas)
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+
+    def synth_payload(it):
+        for pdf in it:
+            payloads = [
+                b"P5\n8 8\n255\n"
+                + bytes([int(ink)] * int(n) + [int(bg)] * (64 - int(n)))
+                for ink, bg, n in zip(
+                    pdf["ink_level"], pdf["bg_level"], pdf["n_ink"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(
+        synth_payload, schema="media_id long, kind string, payload binary"
+    ).withColumn(
+        "meta",
+        F.lit(None).cast(
+            "struct<width:int,height:int,duration_ms:int,n_frames:int>"
+        ),
+    )
+    out = binarize_images(media, fake=False)
+    return out.select(
+        "media_id",
+        "threshold",
+        F.round("ink_ratio", 6).alias("ink_ratio"),
+        "width",
+        "height",
+    ).orderBy("media_id")
+
+
+_O_MM_BINARIZE = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         127 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 7, 6))
+                    AS BIGINT) % 128 AS bg_level,
+         1 + CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 13, 6))
+                  AS BIGINT) % 31 AS n_ink
+  FROM documents)
+SELECT media_id,
+       CAST(bg_level - 1 AS INTEGER) AS threshold,
+       ROUND(n_ink / 64.0, 6) AS ink_ratio,
+       8 AS width,
+       8 AS height
+FROM h
+ORDER BY media_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_pricing_summary": _q_a1_pricing_summary,
@@ -1515,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "search_tfidf_query": _q_search_tfidf_query,
+        "mm_binarize": _q_mm_binarize,
     }
 
 
@@ -1572,4 +1658,5 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _O_TEXT_FP,
         "text_quality": _O_TEXT_QUALITY,
         "text_langid": _O_TEXT_LANGID,
+        "mm_binarize": _O_MM_BINARIZE,
     }
