@@ -444,6 +444,34 @@ def row_hspacings_from_rows(
     return out
 
 
+def row_hspacings_for_groups(
+    grid: np.ndarray, column: list[int], groups: list[list[list[int]]]
+) -> list[np.ndarray]:
+    """Batched ``row_hspacings_from_rows`` for every group of one column.
+
+    Both fold passes are strictly per-row (narrow-run elimination and
+    bullet merging never read across rows), so running them ONCE over
+    the column's concatenated row set is exactly equivalent to one pass
+    per group — pinned by tests/test_grid.py::test_hspacings_batched
+    — while paying the pad/diff/where fixed cost once per column
+    instead of once per group (the hot path at corpus scale: a typical
+    turn has several single-paragraph groups)."""
+    crop = grid[:, column[0]: column[1]]
+    line_idx = [r0 // V_UNIT for rows in groups for (r0, _r1) in rows]
+    if line_idx:
+        big = crop[line_idx].copy()
+        _eliminate_narrow_spacing_rows(big)
+        _merge_bullets_matrix(big)
+    else:
+        big = np.empty((0, crop.shape[1]), dtype=crop.dtype)
+    out: list[np.ndarray] = []
+    i = 0
+    for rows in groups:
+        out.append(big[i: i + len(rows)])
+        i += len(rows)
+    return out
+
+
 def _eliminate_narrow_spacing_rows(m: np.ndarray) -> None:
     """Fold interior spacing runs narrower than MIN_SPACING_SPAN into
     content, whole matrix at once (leading runs -- the left margin -- are
@@ -1001,8 +1029,9 @@ def parse_grid(grid: np.ndarray) -> dict:
         column_row_grp_row_spacings[col_idx] = {}
         column_row_grp_build_table[col_idx] = {}
         column_row_grp_cells[col_idx] = {}
+        hs_list = row_hspacings_for_groups(grid, column, groups)
         for grp_idx, rows in enumerate(groups):
-            hs = row_hspacings_from_rows(grid, column, rows)
+            hs = hs_list[grp_idx]
             if hs.size == 0:
                 continue
             column_row_grp_row_spacings[col_idx][grp_idx] = hs

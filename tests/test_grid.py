@@ -291,3 +291,29 @@ class TestOccupancy:
     def test_tabs_expanded(self):
         g, lines = G.occupancy_from_text("a\tb")
         assert lines[0] == "a   b"
+
+
+def test_hspacings_batched():
+    """row_hspacings_for_groups (one fold pass per column) must be
+    byte-identical to row_hspacings_from_rows per group — the per-row
+    fold semantics make concatenation exact."""
+    from crrf_det_spark import synth
+
+    rows, _ = synth.generate(n_convs=40, seed=31, skew_convs=2,
+                             skew_factor=20)
+    checked = 0
+    for r in rows:
+        text = r["text"] or ""
+        if not text.strip() or "<" in text:
+            continue
+        grid, _lines = G.occupancy_from_text(text)
+        columns, _sp = G.columns_from_grid(grid)
+        for column in columns:
+            groups, _v = G.row_groups_from_column(grid, column)
+            batched = G.row_hspacings_for_groups(grid, column, groups)
+            assert len(batched) == len(groups)
+            for rws, hs in zip(groups, batched):
+                ref = G.row_hspacings_from_rows(grid, column, rws)
+                assert np.array_equal(hs, ref)
+                checked += 1
+    assert checked > 100
