@@ -1204,6 +1204,75 @@ FROM scores ORDER BY doc_id
 """
 
 
+def _q_curate_corpus(spark, sf):
+    # end-to-end curation (ops/curate.curate_corpus): annotate
+    # (langid/quality/tokens), drop quality < 0.5, then whitespace-
+    # insensitive exact dedup keeping the min-id doc per normalized-text
+    # group — one scan + one hash agg, no Window, no join.  The oracle
+    # replicates quality_score's arithmetic OPERATION-FOR-OPERATION (same
+    # literals, same left-assoc order) so the pre-round double is
+    # bit-identical across engines; the round(…, 6) then agrees
+    # (both engines round positive half-cases up).  Same fp-boundary
+    # caveat as the dedup oracles: a future corpus could in principle
+    # land a score exactly on the 0.5 threshold's representation edge —
+    # triage a mismatch there as expected tail risk, not regression.
+    from crrf_det_spark.ops import curate_corpus
+
+    d = _t(spark, sf, "documents")
+    return curate_corpus(d, min_quality=0.5).orderBy("doc_id")
+
+
+_O_CURATE_CORPUS = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+  FROM documents
+), langs AS (
+  SELECT doc_id,
+    len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','for','that','with','on')))::DOUBLE / greatest(len(tk), 1) AS s_en,
+    len(list_filter(tk, t -> t IN ('der','die','und','das','ist','von','mit','den','nicht','ein')))::DOUBLE / greatest(len(tk), 1) AS s_de,
+    len(list_filter(tk, t -> t IN ('le','la','et','les','des','est','pour','que','dans','une')))::DOUBLE / greatest(len(tk), 1) AS s_fr,
+    len(list_filter(tk, t -> t IN ('el','la','los','las','es','por','que','una','para','con')))::DOUBLE / greatest(len(tk), 1) AS s_es
+  FROM toks
+), feats AS (
+  SELECT doc_id, text,
+         len(tk) AS n_toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(list_filter(tk, t -> t IN ('the','and','of','to','in','is','for','that','with','on'))) AS stop_hits
+  FROM toks
+), ratios AS (
+  SELECT *,
+         CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END AS ar,
+         CASE WHEN n_chars > 0 THEN punct / n_chars ELSE 0.0 END AS pr,
+         CASE WHEN n_toks > 0 THEN (n_chars - n_toks + 1) / n_toks ELSE 0.0 END AS mw
+  FROM feats
+), scored AS (
+  SELECT r.doc_id,
+    CASE WHEN greatest(l.s_en, l.s_de, l.s_fr, l.s_es) <= 0 THEN 'und'
+         WHEN l.s_es = greatest(l.s_en, l.s_de, l.s_fr, l.s_es) THEN 'es'
+         WHEN l.s_fr = greatest(l.s_en, l.s_de, l.s_fr) THEN 'fr'
+         WHEN l.s_de = greatest(l.s_en, l.s_de) THEN 'de'
+         ELSE 'en' END AS lang,
+    round(
+      (CASE WHEN r.n_toks >= 10 AND r.n_toks <= 10000 THEN 0.25 ELSE 0.0 END)
+      + (CASE WHEN r.ar >= 0.6 THEN 0.25 ELSE r.ar * 0.25 / 0.6 END)
+      + (CASE WHEN r.pr <= 0.1 THEN 0.25
+              ELSE greatest(0.0, 0.25 - (r.pr - 0.1)) END)
+      + (CASE WHEN r.mw >= 3 AND r.mw <= 12 THEN 0.15 ELSE 0.0 END)
+      + (CASE WHEN r.stop_hits > 0 THEN 0.10 ELSE 0.0 END), 6) AS quality,
+    r.n_toks AS n_tokens_ws,
+    sha256(trim(regexp_replace(lower(r.text), '\\s+', ' ', 'g'))) AS digest
+  FROM ratios r JOIN langs l USING (doc_id)
+)
+SELECT doc_id, lang, quality, n_tokens_ws FROM (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+  FROM scored WHERE quality >= 0.5
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 # --- rows-only checks (not SQL-expressible; driver records weaker check) ---
 
 def _q_extraction_segments(spark, sf):
@@ -1594,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "curate_corpus": _q_curate_corpus,
         "extraction_segments": _q_extraction_segments,
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
@@ -1658,5 +1728,6 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _O_TEXT_FP,
         "text_quality": _O_TEXT_QUALITY,
         "text_langid": _O_TEXT_LANGID,
+        "curate_corpus": _O_CURATE_CORPUS,
         "mm_binarize": _O_MM_BINARIZE,
     }

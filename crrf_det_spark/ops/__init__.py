@@ -31,6 +31,11 @@ from .similarity import (  # noqa: F401
     lsh_bucket_topk,
     probe_centroids,
 )
+from .curate import (  # noqa: F401
+    curate_corpus,
+    curation_report,
+    normalized_digest,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

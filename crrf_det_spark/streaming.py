@@ -160,6 +160,75 @@ def conversation_progress_stream(
     )
 
 
+def first_seen_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idle_timeout_min: int | None = None,
+) -> DataFrame:
+    """Incremental streaming dedup: emit each document the FIRST time its
+    whitespace-insensitive normalized-text digest (ops/curate.py
+    ``normalized_digest``) is seen; duplicates arriving later — in the
+    same micro-batch or any future one — are dropped.  The streaming
+    counterpart of ``ops.curate.curate_corpus``'s exact-dedup stage for
+    continuously-ingested corpora.  Use with ``outputMode("append")``.
+
+    Why a custom stateful op instead of stock ``dropDuplicates``: the
+    representative is deterministic (the min-``id_col`` doc within the
+    first micro-batch that carries the digest, matching the batch
+    operator's min-id rule, instead of whichever task wins a race), and
+    the state store holds ONE BYTE per digest instead of the key row —
+    at 10^9 distinct documents that is the difference between a 1 GB
+    and a multi-10-GB state store per executor share.
+
+    State retention mirrors ``conversation_progress_stream``: default
+    ``None`` keeps digests forever (eviction would re-admit duplicates);
+    pass ``idle_timeout_min`` only when windowed dedup semantics are
+    acceptable — and never on drive-to-completion harnesses, where
+    ProcessingTimeTimeout busy-loops ``processAllAvailable``.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from .ops.curate import normalized_digest
+
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_min
+        else GroupStateTimeout.NoTimeout
+    )
+    keyed = docs.select(
+        normalized_digest(F.col(text_col)).alias("_digest"),
+        F.col(id_col),
+        F.col(text_col),
+    )
+    out_schema = f"{id_col} long, {text_col} string"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.loc[pdf[id_col].idxmin()]
+                if best is None or int(row[id_col]) < best[0]:
+                    best = (int(row[id_col]), row[text_col])
+        if idle_timeout_min:
+            state.setTimeoutDuration(int(idle_timeout_min) * 60 * 1000)
+        if state.exists or best is None:
+            return
+        state.update((1,))
+        yield pd.DataFrame({id_col: [best[0]], text_col: [best[1]]})
+
+    return keyed.groupBy("_digest").applyInPandasWithState(
+        update,
+        out_schema,
+        "seen byte",
+        "append",
+        timeout_conf,
+    )
+
+
 def start_extraction_stream(
     spark: SparkSession,
     in_path: str,

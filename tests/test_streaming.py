@@ -138,3 +138,45 @@ def test_conversation_progress_stateful_stream(spark, tmp_path):
     assert latest[some_conv][0] == first[some_conv][0] + 1
     assert latest[some_conv][1] == first[some_conv][1] + len("tail turn")
     assert latest[some_conv][2] == 9999
+
+
+def test_first_seen_stream_dedups_across_batches(spark, tmp_path):
+    from crrf_det_spark.streaming import first_seen_stream
+
+    in_path = str(tmp_path / "docs_s")
+    batch1 = [
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick  brown FOX jumps over the lazy dog \n"),  # ws/case dup of 3
+        (4, "a completely different document about climate data"),
+    ]
+    spark.createDataFrame(batch1, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(in_path)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 64
+    ).parquet(in_path)
+    q = (
+        first_seen_stream(stream)
+        .writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {r.doc_id for r in spark.sql("select * from first_seen").collect()}
+    # min-id rep within the batch: doc 1 wins the duplicate group
+    assert got == {1, 4}
+
+    # batch 2: another dup of the seen digest (dropped) + one new doc
+    batch2 = [
+        (9, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"),
+        (7, "a brand new never seen document body"),
+    ]
+    spark.createDataFrame(batch2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(in_path)
+    q.processAllAvailable()
+    q.stop()
+    got = {r.doc_id for r in spark.sql("select * from first_seen").collect()}
+    assert got == {1, 4, 7}
