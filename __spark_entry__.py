@@ -1273,6 +1273,30 @@ SELECT doc_id, lang, quality, n_tokens_ws FROM (
 """
 
 
+def _q_curation_report(spark, sf):
+    # per-language rollup over the curated corpus (ops/curate.
+    # curation_report): one extra hash agg over the (small) survivor set.
+    # avg(quality) is rounded to 6 dp on BOTH sides; the addends are
+    # identical doubles (the curate oracle is value-green), so the only
+    # cross-engine risk is summation-order associativity in avg/sum —
+    # same documented fp tail-risk class as the dedup oracles.
+    from crrf_det_spark.ops import curation_report
+
+    d = _t(spark, sf, "documents")
+    return curation_report(d, min_quality=0.5).orderBy("lang")
+
+
+# the curate oracle (already value-green) as a derived table, re-aggregated
+_O_CURATION_REPORT = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens_ws) AS BIGINT) AS total_tokens_ws,
+       round(avg(quality), 6) AS avg_quality
+FROM ({_O_CURATE_CORPUS.replace(") WHERE rn = 1 ORDER BY doc_id", ") WHERE rn = 1")})
+GROUP BY lang ORDER BY lang
+"""
+
+
 # --- rows-only checks (not SQL-expressible; driver records weaker check) ---
 
 def _q_extraction_segments(spark, sf):
@@ -1664,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "curate_corpus": _q_curate_corpus,
+        "curation_report": _q_curation_report,
         "extraction_segments": _q_extraction_segments,
         "extraction_html": _q_extraction_html,
         "dedup_minhash": _q_dedup_minhash,
@@ -1729,5 +1754,6 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _O_TEXT_QUALITY,
         "text_langid": _O_TEXT_LANGID,
         "curate_corpus": _O_CURATE_CORPUS,
+        "curation_report": _O_CURATION_REPORT,
         "mm_binarize": _O_MM_BINARIZE,
     }
