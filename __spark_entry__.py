@@ -1631,6 +1631,124 @@ def _q_mm_binarize(spark, sf):
     ).orderBy("media_id")
 
 
+def _q_mm_resize(spark, sf):
+    """Multimodal resize contract query: area-average thumbnailing
+    (ops/multimodal.py resize_images; the reference's fixed-size
+    preview/thumbnail/tagging renders, docmt -P 750/200/1200,
+    /root/reference/src/task/file.py:23,32) over deterministic 8x8
+    row-constant PGM payloads synthesized from the documents table,
+    driven through the REAL pipeline: payload -> pure-numpy P5 decode ->
+    vectorized block-mean resize -> PGM re-encode -> P5 re-decode.
+
+    Row-constant construction (row r has level (base + r*step) % 256)
+    makes every resized 4x4 pixel a closed form: output row i is the
+    round-half-up mean of source rows 2i and 2i+1, independently
+    recomputable in SQL; the emitted row_levels string pins all pixels,
+    mean_level pins the payload-wide quantized mean."""
+    import pandas as pd
+
+    from crrf_det_spark.ops.multimodal import decode_image, resize_images
+
+    d = _t(spark, sf, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    base = d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        (F.conv(F.substring(hx, 1, 6), 16, 10).cast("long") % 256)
+        .cast("int").alias("base"),
+        (F.conv(F.substring(hx, 7, 6), 16, 10).cast("long") % 32 + 1)
+        .cast("int").alias("step"),
+    )
+    # explicit partition count ahead of the Python stages (repo invariant)
+    base = base.repartition(spark.sparkContext.defaultParallelism)
+
+    def synth_payload(it):
+        for pdf in it:
+            payloads = []
+            for b, s in zip(pdf["base"], pdf["step"]):
+                rows = [(int(b) + r * int(s)) % 256 for r in range(8)]
+                payloads.append(
+                    b"P5\n8 8\n255\n"
+                    + bytes(v for v in rows for _ in range(8))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(
+        synth_payload, schema="media_id long, kind string, payload binary"
+    ).withColumn(
+        "meta",
+        F.lit(None).cast(
+            "struct<width:int,height:int,duration_ms:int,n_frames:int>"
+        ),
+    )
+    resized = resize_images(media, to=(4, 4), fake=False)
+
+    def decode_rows(it):
+        for pdf in it:
+            levels = [
+                " ".join(
+                    str(int(v))
+                    for v in decode_image(bytes(p), None, fake=False)[:, 0]
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "row_levels": levels,
+                    "mean_level": pdf["mean_level"],
+                }
+            )
+
+    out = resized.mapInPandas(
+        decode_rows,
+        schema=(
+            "media_id long, width int, height int, row_levels string, "
+            "mean_level double"
+        ),
+    )
+    return out.select(
+        "media_id", "width", "height", "row_levels",
+        F.round("mean_level", 6).alias("mean_level"),
+    ).orderBy("media_id")
+
+
+_O_MM_RESIZE = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS media_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+              AS BIGINT) % 256 AS base,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 7, 6))
+              AS BIGINT) % 32 + 1 AS step
+  FROM documents),
+w AS (
+  SELECT media_id,
+         CAST(FLOOR((((base + 0*step) % 256 + (base + 1*step) % 256) / 2.0)
+                    + 0.5) AS INTEGER) AS w0,
+         CAST(FLOOR((((base + 2*step) % 256 + (base + 3*step) % 256) / 2.0)
+                    + 0.5) AS INTEGER) AS w1,
+         CAST(FLOOR((((base + 4*step) % 256 + (base + 5*step) % 256) / 2.0)
+                    + 0.5) AS INTEGER) AS w2,
+         CAST(FLOOR((((base + 6*step) % 256 + (base + 7*step) % 256) / 2.0)
+                    + 0.5) AS INTEGER) AS w3
+  FROM h)
+SELECT media_id,
+       4 AS width,
+       4 AS height,
+       CONCAT(w0, ' ', w1, ' ', w2, ' ', w3) AS row_levels,
+       ROUND((w0 + w1 + w2 + w3) / 4.0, 6) AS mean_level
+FROM w
+ORDER BY media_id
+"""
+
+
 _O_MM_BINARIZE = """
 WITH h AS (
   SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -1696,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "search_tfidf_query": _q_search_tfidf_query,
         "mm_binarize": _q_mm_binarize,
+        "mm_resize": _q_mm_resize,
     }
 
 
@@ -1756,4 +1875,5 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _O_CURATE_CORPUS,
         "curation_report": _O_CURATION_REPORT,
         "mm_binarize": _O_MM_BINARIZE,
+        "mm_resize": _O_MM_RESIZE,
     }

@@ -596,6 +596,75 @@ class TestMultimodal:
         # dominant light mode -> background white, dark modes are ink
         assert o1[img == 15].min() == 0 and o1[img == 244].max() == 255
 
+    def test_area_resize_matches_naive_blocks(self):
+        from crrf_det_spark.ops.multimodal import area_resize
+
+        def naive(img, tw, th):
+            # the extract_features block-mean semantics: floor boundaries,
+            # at-least-one-row/col guard
+            h, w = img.shape
+            ys = (np.arange(th + 1) * h // th).astype(int)
+            xs = (np.arange(tw + 1) * w // tw).astype(int)
+            out = np.zeros((th, tw))
+            for i in range(th):
+                for j in range(tw):
+                    block = img[ys[i]: max(ys[i + 1], ys[i] + 1),
+                                xs[j]: max(xs[j + 1], xs[j] + 1)]
+                    out[i, j] = block.mean()
+            return out
+
+        rng = np.random.RandomState(3)
+        for (h, w), (tw, th) in [
+            ((16, 16), (4, 4)),    # even downscale
+            ((13, 7), (5, 3)),     # ragged downscale
+            ((4, 4), (9, 6)),      # upscale (repeated reduceat indices)
+            ((10, 3), (3, 10)),    # mixed
+            ((1, 1), (4, 4)),      # degenerate single pixel
+        ]:
+            img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            got = area_resize(img, (tw, th))
+            assert got.shape == (th, tw)
+            assert np.allclose(got, naive(img, tw, th))
+
+    def test_resize_images_through_spark(self, spark):
+        from crrf_det_spark.ops.multimodal import (
+            MEDIA_SCHEMA,
+            decode_image,
+            resize_images,
+        )
+
+        # 8x8 row-constant gradient: resized 4x4 rows must be the
+        # round-half-up means of adjacent source row pairs
+        levels = np.arange(8, dtype=np.uint8) * 30  # 0,30,...,210
+        img = np.repeat(levels[:, None], 8, axis=1)
+        p5 = b"P5\n8 8\n255\n" + img.tobytes()
+        rows = [
+            (1, "image", "image/x-portable-graymap", p5, (8, 8, None, None)),
+            (2, "image", "image/x-portable-graymap", b"P5\nbroken", (4, 4, None, None)),
+            (3, "audio", "audio/wav", b"RIFF....", (None, None, 100, None)),
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        out = resize_images(df, to=(4, 4), fake=False).collect()
+        assert [r.media_id for r in out] == [1]
+        r = out[0]
+        assert (r.width, r.height) == (4, 4)
+        back = decode_image(bytes(r.payload), None, fake=False)
+        expect = np.floor(
+            (levels.reshape(4, 2).astype(float).mean(axis=1)) + 0.5
+        ).astype(np.uint8)
+        assert np.array_equal(back, np.repeat(expect[:, None], 4, axis=1))
+        assert abs(r.mean_level - float(expect.mean())) < 1e-9
+        # constant image resizes to the same constant at any size
+        const = np.full((6, 6), 77, dtype=np.uint8)
+        cdf = spark.createDataFrame(
+            [(9, "image", None, b"P5\n6 6\n255\n" + const.tobytes(),
+              (6, 6, None, None))],
+            MEDIA_SCHEMA,
+        )
+        c = resize_images(cdf, to=(5, 9), fake=False).collect()[0]
+        cback = decode_image(bytes(c.payload), None, fake=False)
+        assert cback.shape == (9, 5) and (cback == 77).all()
+
     def test_binarize_images_through_spark(self, spark):
         from crrf_det_spark.ops.multimodal import (
             MEDIA_SCHEMA,
