@@ -249,6 +249,45 @@ def flatten_table(rows: list[list[str]]) -> str:
     return "\n".join("\t".join(r) for r in rows)
 
 
+def _flow_segments(lines: list[str]) -> list[dict]:
+    """Budget-fallback extraction: one text segment per blank-line-
+    separated paragraph, words space-joined — exactly the shape the grid
+    kernel emits for simple single-column prose (row group -> text box),
+    produced in O(chars) with no 2-D buffer.  Used when a degenerate
+    turn's occupancy grid would exceed grid.MAX_GRID_CELLS (the
+    reference never faces this: its 400px raster bounds analysis cost by
+    construction, docmt -P 400)."""
+    segs: list[dict] = []
+    start = None
+    words: list[str] = []
+    width = 0
+    for i, ln in enumerate(lines):
+        w = ln.split()
+        if w:
+            if start is None:
+                start = i
+            words.extend(w)
+            width = max(width, len(ln))
+        elif start is not None:
+            segs.append({
+                "type": "text",
+                "content": " ".join(words),
+                "rows": None,
+                "box": [start * G.V_UNIT, 0,
+                        (i - 1) * G.V_UNIT + G.LINE_H, width],
+            })
+            start, words, width = None, [], 0
+    if start is not None:
+        segs.append({
+            "type": "text",
+            "content": " ".join(words),
+            "rows": None,
+            "box": [start * G.V_UNIT, 0,
+                    (len(lines) - 1) * G.V_UNIT + G.LINE_H, width],
+        })
+    return segs
+
+
 def extract_turn(text: str) -> list[dict]:
     """Full per-turn extraction -> ordered segment dicts.
 
@@ -256,10 +295,21 @@ def extract_turn(text: str) -> list[dict]:
     box: [ymin, xmin, ymax, xmax]} with cindex = list position (reading
     order, stable sort by (ymin, xmin) like the reference's
     box[0]*10000+box[1] key, /root/reference/src/t-pdf:30).
+
+    Degenerate-geometry guard: a turn whose occupancy grid would exceed
+    ``grid.MAX_GRID_CELLS`` (multi-megabyte single lines, million-line
+    dumps — not document layouts) extracts via the O(chars)
+    paragraph-flow fallback instead of allocating the 2-D grid.
     """
     if text is None or not text.strip():
         return []
-    occupancy, lines = G.occupancy_from_text(text)
+    try:
+        occupancy, lines = G.occupancy_from_text(text)
+    except G.GridBudgetExceeded:
+        flow_lines = G.strip_boilerplate(
+            [ln.expandtabs(4).rstrip("\n") for ln in text.split("\n")]
+        )
+        return _flow_segments(flow_lines)
     tokens = tokenize_lines(lines)
     if not len(tokens):
         return []

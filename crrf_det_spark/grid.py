@@ -83,6 +83,26 @@ def v_end(line: int) -> int:
 # pseg.py:161-206)
 # ---------------------------------------------------------------------------
 
+# Per-turn occupancy-grid cell budget.  The reference is immune to
+# degenerate page geometry BY CONSTRUCTION — it rasterizes every page at
+# a fixed 400px narrow side (docmt -P 400, pseg.py:152) so its analysis
+# buffers are bounded no matter what the PDF contains.  The text-space
+# analogue has no such physical bound: the grid is O(lines x widest
+# line), so one corrupt turn (a multi-megabyte minified-JSON line, a
+# million-line log dump) could allocate gigabytes inside an executor.
+# 16M cells (16 MB uint8; e.g. 4,000 lines x 4,000 cols — far beyond any
+# real document layout) is the cutoff past which layout analysis is
+# meaningless anyway; callers catch GridBudgetExceeded and fall back to
+# paragraph-flow extraction (extract._flow_segments).
+MAX_GRID_CELLS = 16_000_000
+
+
+class GridBudgetExceeded(Exception):
+    """Raised instead of allocating an occupancy grid whose lines x width
+    footprint exceeds ``MAX_GRID_CELLS`` — one degenerate turn in a
+    100 TB corpus must never OOM an executor."""
+
+
 def strip_boilerplate(lines: list[str]) -> list[str]:
     """Blank header/footer chrome in the first/last margin lines.
 
@@ -111,6 +131,11 @@ def occupancy_from_text(text: str) -> tuple[np.ndarray, list[str]]:
     width = max((len(ln) for ln in lines), default=0)
     if width == 0 or not lines:
         return np.ones((max(len(lines), 1), 1), dtype=np.uint8), lines
+    if len(lines) * width > MAX_GRID_CELLS:
+        raise GridBudgetExceeded(
+            f"occupancy grid {len(lines)}x{width} exceeds "
+            f"MAX_GRID_CELLS={MAX_GRID_CELLS}"
+        )
     # single-buffer fast path: pad every line to `width` and decode one
     # blob; falls back per line only for multibyte (non-latin1) chars
     try:

@@ -145,3 +145,42 @@ def test_auto_dispatch_never_crashes(text):
 
     for s in extract_turn_auto(text):
         assert s["type"] in ("text", "table")
+
+
+def test_grid_budget_guard_and_flow_fallback():
+    """One degenerate turn must never allocate an unbounded occupancy
+    grid (grid.MAX_GRID_CELLS); extraction falls back to O(chars)
+    paragraph-flow segments with every word conserved."""
+    import pytest
+
+    from crrf_det_spark import grid as G
+    from crrf_det_spark.extract import extract_turn
+
+    wide = "tok " * 2_500_000  # one ~10M-char line
+    text = "alpha beta gamma\n\n" + wide
+    # the guard fires before any 2-D allocation
+    with pytest.raises(G.GridBudgetExceeded):
+        G.occupancy_from_text(text)
+    segs = extract_turn(text)
+    assert [s["type"] for s in segs] == ["text", "text"]
+    assert segs[0]["content"] == "alpha beta gamma"
+    assert len(segs[1]["content"].split()) == 2_500_000
+    # reading order: boxes ascend by line, ints throughout
+    assert segs[0]["box"][0] < segs[1]["box"][0]
+    assert all(isinstance(v, int) for s in segs for v in s["box"])
+    # a wide-but-bounded turn still takes the real kernel
+    ok = extract_turn("alpha beta\n\ncol1  col2")
+    assert ok and all(s["type"] in ("text", "table") for s in ok)
+
+
+def test_flow_fallback_matches_kernel_on_simple_prose():
+    """On plain single-column prose the fallback and the kernel agree on
+    extracted content (both emit one space-joined text segment per
+    paragraph), so the budget path degrades faithfully."""
+    from crrf_det_spark.extract import _flow_segments, extract_turn
+
+    text = "The first paragraph has words.\nAnd a second line.\n\nSecond paragraph here."
+    lines = [ln.rstrip("\n") for ln in text.split("\n")]
+    kernel = [s["content"] for s in extract_turn(text)]
+    flow = [s["content"] for s in _flow_segments(lines)]
+    assert flow == kernel
