@@ -26,6 +26,13 @@ from .htmlx import html_segments, looks_like_html
 
 _TOKEN_RE = re.compile(r"\S+")
 
+# Cap on the boxes x candidate-tokens footprint of one batched-overlap
+# matrix in Tokens.take_overlapping_many (8M cells ~ 64 MB per float64
+# temporary).  Grid-budget-passing turns can still hold millions of
+# tokens in one unbroken y-window (a single-paragraph log paste); the
+# adaptive chunk halving keeps the join's peak memory bounded there.
+MAX_JOIN_CELLS = 8_000_000
+
 
 class Tokens:
     """Token texts + (ymin, xmin, ymax, xmax) boxes as numpy columns.
@@ -94,21 +101,35 @@ class Tokens:
         each token to the FIRST box in the list whose overlap exceeds the
         token's threshold (thresholds are static per token), so the whole
         join collapses to one boxes x tokens overlap matrix + argmax per
-        token.  Boxes are processed in fixed-size chunks so the temporary
-        matrices stay small even for degenerate giant turns."""
+        token.  Boxes are processed in chunks whose boxes x
+        candidate-tokens footprint is capped at MAX_JOIN_CELLS: a chunk
+        whose pooled y-window would cover too many tokens (one unbroken
+        multi-thousand-line paragraph) is halved until it fits, so the
+        temporary matrices stay bounded even for degenerate giant turns
+        (chunk boundaries cannot change first-writer-wins semantics —
+        the used mask is updated between chunks)."""
         out: list[list[str]] = [[] for _ in range(len(boxes))]
         if not len(self.texts) or not boxes:
             return out
         barr = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
-        chunk = 64
-        for c0 in range(0, len(barr), chunk):
-            bc = barr[c0: c0 + chunk]
-            lo = int(
-                np.searchsorted(
-                    self._y0, bc[:, 0].min() - self._hmax, side="left"
+        c0 = 0
+        while c0 < len(barr):
+            n = min(64, len(barr) - c0)
+            while True:
+                bc = barr[c0: c0 + n]
+                lo = int(
+                    np.searchsorted(
+                        self._y0, bc[:, 0].min() - self._hmax, side="left"
+                    )
                 )
-            )
-            hi = int(np.searchsorted(self._y0, bc[:, 2].max(), side="left"))
+                hi = int(
+                    np.searchsorted(self._y0, bc[:, 2].max(), side="left")
+                )
+                if n == 1 or (hi - lo) * n <= MAX_JOIN_CELLS:
+                    break
+                n //= 2
+            base = c0
+            c0 += n
             if lo >= hi:
                 continue
             t = self.boxes[lo:hi]
@@ -131,7 +152,7 @@ class Tokens:
             taken = np.nonzero(any_hit)[0]
             self.used[taken + lo] = True
             for ti in taken:
-                out[c0 + int(first[ti])].append(self.texts[ti + lo])
+                out[base + int(first[ti])].append(self.texts[ti + lo])
         return out
 
 

@@ -88,6 +88,40 @@ def test_batched_join_equals_sequential(text, boxes):
     assert list(seq_tokens.used) == list(batch_tokens.used)
 
 
+def test_batched_join_chunk_halving_equals_sequential(monkeypatch):
+    """Force the MAX_JOIN_CELLS adaptive halving (normally only hit by
+    multi-million-token unbroken paragraphs) and assert the join is still
+    exactly the sequential first-writer-wins loop, including when chunks
+    degrade all the way to n == 1."""
+    import crrf_det_spark.extract as extract_mod
+    from crrf_det_spark.extract import tokenize_lines
+    from crrf_det_spark.grid import occupancy_from_text
+
+    import random
+
+    rng = random.Random(5)
+    words = ["aa", "bb", "cc", "dd"]
+    text = "\n".join(
+        " ".join(rng.choices(words, k=8)) for _ in range(120)
+    )
+    boxes = []
+    for _ in range(200):
+        y0 = rng.randrange(0, 119)
+        x0 = rng.randrange(0, 20)
+        boxes.append((y0, x0, y0 + rng.randrange(1, 6), x0 + rng.randrange(1, 16)))
+
+    _, lines = occupancy_from_text(text)
+    seq_tokens = tokenize_lines(lines)
+    expected = [seq_tokens.take_overlapping(b) for b in boxes]
+
+    for cap in (1, 37, 512):  # n==1 path, mid halving, light halving
+        monkeypatch.setattr(extract_mod, "MAX_JOIN_CELLS", cap)
+        batch_tokens = tokenize_lines(lines)
+        got = batch_tokens.take_overlapping_many(boxes)
+        assert got == expected, f"cap={cap}"
+        assert list(seq_tokens.used) == list(batch_tokens.used), f"cap={cap}"
+
+
 def test_giant_turn_stays_linear_and_conserves_tokens():
     """Degenerate heavy-tail turn (20k lines of word soup): the kernel
     must stay near-linear (the O(rects^2) adjacency scan and O(rows^2)
