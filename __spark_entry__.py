@@ -1110,6 +1110,78 @@ def _q_ann_ivf(spark, sf):
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_lsh(spark, sf):
+    # hyperplane-LSH approximate top-k (ops/similarity.lsh_bucket_topk):
+    # bucket = 8-bit sign pattern of seeded hyperplane projections; only
+    # rows whose bucket is within 1 bit flip of the query's bucket are
+    # scored.  The oracle (_oracle_ann_lsh) inlines the identical float32
+    # plane constants and recomputes the per-row buckets, the query's own
+    # bucket, the xor-based probe test, and the within-probe cosine top-k
+    # entirely in SQL — so the pruning decision itself is value-checked,
+    # not just the final ranking.
+    from crrf_det_spark.ops import lsh_bucket_topk
+
+    emb = _t(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
+    out = lsh_bucket_topk(
+        emb, query, k=10, num_planes=8, probe_bits=1, seed=3
+    )
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def _oracle_ann_lsh(num_planes: int = 8, dim: int = 64) -> str:
+    """SQL twin of _q_ann_lsh: identical float32 plane constants (shared
+    seeded generator ops.hyperplanes, seed 3) inlined as list literals;
+    per-row bucket AND the query's bucket both recomputed as sign
+    patterns; probe set = xor distance 0 or a single bit.  Spark promotes
+    planes/vectors to float64, matching SQL DOUBLE (same summation-order
+    sign-boundary tail risk as dedup_embedding's oracle — documented)."""
+    from crrf_det_spark.ops import hyperplanes
+
+    planes = hyperplanes(num_planes, dim, seed=3)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+    row_bits = ",\n         ".join(
+        f"CASE WHEN list_dot_product(e, {lit(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END AS b{i}"
+        for i in range(num_planes)
+    )
+    q_bits = " + ".join(
+        f"CASE WHEN list_dot_product(v, {lit(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i in range(num_planes)
+    )
+    bucket_sum = " + ".join(f"b{i}" for i in range(num_planes))
+    probe_xors = ", ".join(
+        str(x) for x in [0] + [1 << i for i in range(num_planes)]
+    )
+    return f"""
+WITH q AS (
+  SELECT list(CASE WHEN (i-1) % 7 = 0 THEN 1.0 ELSE 0.1 END ORDER BY i) AS v
+  FROM range(1, {dim + 1}) r(i)
+), qb AS (
+  SELECT {q_bits} AS qbucket FROM q
+), ve AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), bk AS (
+  SELECT vec_id, e, {row_bits}
+  FROM ve
+), b AS (
+  SELECT vec_id, e, {bucket_sum} AS bucket FROM bk
+)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.e, q.v), 4) AS cosine
+FROM b, q, qb
+WHERE xor(b.bucket, qb.qbucket) IN ({probe_xors})
+ORDER BY list_cosine_similarity(b.e, q.v) DESC, b.vec_id
+LIMIT 10
+"""
+
+
 def _q_text_tokens(spark, sf):
     # token counting (ws + punctuation-aware proxy)
     d = _t(spark, sf, "documents")
@@ -1801,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_corpus": _q_dedup_corpus,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
         "text_tokens": _q_text_tokens,
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
@@ -1857,6 +1930,11 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf's probe set provably covers the exact top-k on this
         # corpus, so the brute-force cosine oracle applies verbatim
         "ann_ivf": _O_ANN,
+        # CAVEAT: like dedup_embedding, ann_lsh's bucket-sign parity
+        # relies on numpy-matmul vs DuckDB sequential float summation
+        # agreeing at the > 0 boundary; expected tail risk, not a
+        # regression, if a future sf ever flips a near-zero projection.
+        "ann_lsh": _oracle_ann_lsh(),
         # CAVEAT (expected tail risk, not regression, if a future sf ever
         # mismatches): dedup_minhash's equality with its exact-Jaccard
         # oracle is probabilistic — per-pair miss probability (1-j)^32

@@ -243,11 +243,20 @@ def lsh_bucket_topk(
     seed: int = 3,
 ) -> DataFrame:
     """Approximate top-k: score only rows whose hyperplane-sign bucket is
-    within `probe_bits` bit flips of the query's bucket."""
+    within `probe_bits` bit flips of the query's bucket.
+
+    Planes come from the shared seeded generator ``dedup.hyperplanes``
+    (float32 constants, promoted to float64 in the kernel), so a value
+    oracle can inline the identical constants as SQL list literals and
+    reproduce the bucket assignment, the query's own bucket, and the
+    bit-flip probe test bit-for-bit (see __spark_entry__ ``ann_lsh``)."""
+    from .dedup import hyperplanes
+
     dim = len(query)
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(num_planes, dim)).astype("float64")
-    qkey = int(((planes @ np.asarray(query)) > 0).dot(1 << np.arange(num_planes)))
+    planes = hyperplanes(num_planes, dim, seed=seed).astype("float64")
+    qkey = int(((planes @ np.asarray(query, dtype="float64")) > 0).dot(
+        1 << np.arange(num_planes)
+    ))
     probes = {qkey}
     if probe_bits >= 1:
         for i in range(num_planes):
