@@ -23,6 +23,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# explicit repartition ahead of every Python kernel (repo invariant);
+# shared with similarity/multimodal via ops/_kernel.py
+from ._kernel import spread as _spread
+
 _MERSENNE = (1 << 61) - 1
 
 # Java regex \s == [ \t\n\x0B\f\r] (ASCII).  Python str.split() splits on
@@ -116,16 +120,6 @@ def minhash_signatures(
     return _spread(docs.select("doc_id", text_col)).mapInPandas(
         batches, schema="doc_id long, signature array<long>"
     )
-
-
-def _spread(df: DataFrame) -> DataFrame:
-    """Explicit repartition ahead of a Python kernel: a single-file
-    parquet source arrives as ONE partition and AQE will not widen it,
-    which serializes the mapInPandas stage (repo invariant — see
-    pipeline.salted).  Cost: one round-robin shuffle of (doc_id, text),
-    repaid ~cores-fold in kernel parallelism."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * 2)
 
 
 def minhash_lsh_pairs(

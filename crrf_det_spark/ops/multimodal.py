@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ._kernel import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -250,7 +252,7 @@ def audio_features(media: DataFrame, n_bands: int = 16) -> DataFrame:
                 ],
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    return spread(media.select("media_id", "kind", "payload")).mapInPandas(
         batches,
         schema=(
             "media_id long, sample_rate int, n_samples long, rms double, "
@@ -360,7 +362,7 @@ def binarize_images(media: DataFrame, n_clusters: int = 3,
                          "width", "height"],
             )
 
-    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+    return spread(media.select("media_id", "kind", "payload", "meta")).mapInPandas(
         batches,
         schema=(
             "media_id long, threshold int, ink_ratio double, "
@@ -417,7 +419,7 @@ def extract_features(
                 }
             )
 
-    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+    return spread(media.select("media_id", "kind", "payload", "meta")).mapInPandas(
         batches, schema=FEATURE_SCHEMA
     )
 
@@ -497,7 +499,7 @@ def resize_images(
                          "mean_level"],
             )
 
-    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
+    return spread(media.select("media_id", "kind", "payload", "meta")).mapInPandas(
         batches,
         schema=(
             "media_id long, payload binary, width int, height int, "
@@ -523,6 +525,6 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> 
                     out["frame_ms"].append(ts)
             yield pd.DataFrame(out, columns=["media_id", "frame_ms"])
 
-    return media.select("media_id", "kind", "meta").mapInPandas(
+    return spread(media.select("media_id", "kind", "meta")).mapInPandas(
         batches, schema="media_id long, frame_ms long"
     )

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._kernel import spread
+
 
 def cosine_col(vec: Column, query: list[float]) -> Column:
     """Cosine similarity of an array<float> column against a literal query
@@ -128,7 +130,7 @@ def ivf_assign(
                 }
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return spread(embeddings.select(id_col, vec_col)).mapInPandas(
         assign_batches,
         schema=f"{id_col} long, {vec_col} array<float>, centroid long",
     )
@@ -273,7 +275,7 @@ def lsh_bucket_topk(
                  "bucket": keys.astype("int64")}
             )
 
-    bucketed = embeddings.select(id_col, vec_col).mapInPandas(
+    bucketed = spread(embeddings.select(id_col, vec_col)).mapInPandas(
         bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
     )
     return (

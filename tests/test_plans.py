@@ -159,6 +159,35 @@ def test_signature_kernels_are_spread(spark):
         assert "MapInPandas" in plan, op.__name__
 
 
+def test_similarity_and_multimodal_kernels_are_spread(spark):
+    # same invariant as the signature kernels: every mapInPandas input
+    # carries an explicit repartition so a single-file parquet source
+    # can't serialize the Python stage into one worker
+    from crrf_det_spark.ops import lsh_bucket_topk
+    from crrf_det_spark.ops.multimodal import extract_features
+    from crrf_det_spark.ops.similarity import ivf_assign
+
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = [1.0] * dim
+    cent = np.zeros((2, dim))
+    media = spark.createDataFrame(
+        [(1, "image", None, None, None)],
+        "media_id long, kind string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:int>",
+    )
+    for name, df in (
+        ("ivf_assign", ivf_assign(emb, cent)),
+        ("lsh_bucket_topk", lsh_bucket_topk(emb, q, k=2, num_planes=4)),
+        ("extract_features", extract_features(media, fake=True)),
+    ):
+        plan = plan_of(df, mode="simple")
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert "MapInPandas" in plan, name
+
+
 def test_ivf_indexed_query_prunes_partitions(spark, tmp_path):
     # the materialized IVF index is partitioned by centroid; the indexed
     # query's probe filter must reach the scan as a PARTITION filter
