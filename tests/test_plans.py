@@ -278,3 +278,32 @@ def test_search_adhoc_prefilter_below_generate(spark, queries):
             break
     assert gen_ids and contains_filter_id is not None, plan
     assert contains_filter_id < min(gen_ids), (contains_filter_id, gen_ids)
+
+
+def test_no_unsanctioned_driver_collects():
+    # repo invariant (CLAUDE.md): no driver-side .first()/.collect() size
+    # probes inside operators.  The sanctioned sites are exactly: the
+    # connected-components convergence checksum (one tiny aggregate row
+    # per round), the hard-capped IVF k-means training sample, and the
+    # tagging per-partition offset collect (one long per partition).
+    # Anything new must be added here WITH a bounded-size justification.
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("/root/repo/crrf_det_spark")
+    sanctioned = {
+        ("ops/components.py", "_checksum"),
+        ("ops/similarity.py", "ivf_train"),
+        ("tagging.py", "global_entry_ids"),
+    }
+    found = set()
+    for path in sorted(pkg.rglob("*.py")):
+        fn = None
+        for ln in path.read_text().splitlines():
+            m = re.match(r"def (\w+)", ln)
+            if m:
+                fn = m.group(1)
+            code = ln.split("#")[0]
+            if ".collect()" in code or ".first()" in code:
+                found.add((str(path.relative_to(pkg)), fn))
+    assert found == sanctioned, found
