@@ -28,7 +28,11 @@ from .similarity import (  # noqa: F401
     ivf_topk_indexed,
     ivf_train,
     ivf_write_index,
+    lsh_assign,
     lsh_bucket_topk,
+    lsh_probe_keys,
+    lsh_topk_indexed,
+    lsh_write_index,
     probe_centroids,
 )
 from .curate import (  # noqa: F401

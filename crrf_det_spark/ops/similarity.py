@@ -5,9 +5,11 @@
   scan stays JVM-side and whole-stage-codegen'd; top-k is an orderBy+limit
   which Spark executes as a per-partition TakeOrdered (no full sort
   shuffle).
-* lsh_bucket_topk: the scale path -- random-hyperplane buckets with
-  multi-probe (query probes its bucket and single-bit-flip neighbours), so
-  only a fraction of the table is scored.  Recall < 1.0 by construction;
+* LSH family: lsh_assign (one vectorized hyperplane-sign bucketing pass)
+  + lsh_write_index (materialize PARTITIONED BY bucket at ingest) +
+  lsh_topk_indexed (partition-pruned multi-probe: reads only the probed
+  buckets, no per-query kernel pass).  lsh_bucket_topk is the one-shot
+  assign+probe variant for ad-hoc queries.  Recall < 1.0 by construction;
   num_planes/probe radius trade recall for cost.
 * IVF family: ivf_train (bounded driver-side k-means) + ivf_assign (one
   vectorized nearest-centroid pass) + ivf_write_index (materialize the
@@ -251,11 +253,74 @@ def lsh_bucket_topk(
     (float32 constants, promoted to float64 in the kernel), so a value
     oracle can inline the identical constants as SQL list literals and
     reproduce the bucket assignment, the query's own bucket, and the
-    bit-flip probe test bit-for-bit (see __spark_entry__ ``ann_lsh``)."""
+    bit-flip probe test bit-for-bit (see __spark_entry__ ``ann_lsh``).
+
+    One-shot shape: the whole corpus passes through the assignment
+    kernel per query.  For repeated queries over a static corpus,
+    materialize the assignment once with ``lsh_assign`` +
+    ``lsh_write_index`` and query via ``lsh_topk_indexed``, which prunes
+    to the probed bucket partitions instead."""
+    probes = lsh_probe_keys(
+        query, num_planes=num_planes, probe_bits=probe_bits, seed=seed
+    )
+    bucketed = lsh_assign(
+        embeddings, num_planes=num_planes, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_assign(
+    embeddings: DataFrame,
+    num_planes: int = 8,
+    seed: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One vectorized pass bucketing every row to its hyperplane-sign key:
+    (id, vec, bucket).  Planes are regenerated inside each kernel worker
+    from (seed, num_planes, dim of its own first batch) — deterministic,
+    so every worker and the driver-side ``lsh_probe_keys`` computation
+    agree without shipping state or probing the dim from the driver."""
     from .dedup import hyperplanes
 
-    dim = len(query)
-    planes = hyperplanes(num_planes, dim, seed=seed).astype("float64")
+    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].values).astype("float64")
+            if P is None:
+                P = hyperplanes(num_planes, V.shape[1], seed=seed).astype(
+                    "float64"
+                )
+            keys = ((V @ P.T) > 0).dot(1 << np.arange(num_planes))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col],
+                 "bucket": keys.astype("int64")}
+            )
+
+    return spread(embeddings.select(id_col, vec_col)).mapInPandas(
+        bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
+    )
+
+
+def lsh_probe_keys(
+    query: list[float],
+    num_planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 3,
+) -> list[int]:
+    """The bucket keys a query probes: its own hyperplane-sign key plus
+    every key within ``probe_bits`` bit flips (multi-probe)."""
+    from .dedup import hyperplanes
+
+    planes = hyperplanes(num_planes, len(query), seed=seed).astype("float64")
     qkey = int(((planes @ np.asarray(query, dtype="float64")) > 0).dot(
         1 << np.arange(num_planes)
     ))
@@ -263,23 +328,48 @@ def lsh_bucket_topk(
     if probe_bits >= 1:
         for i in range(num_planes):
             probes.add(qkey ^ (1 << i))
-    planes_b = embeddings.sparkSession.sparkContext.broadcast(planes)
+    return sorted(probes)
 
-    def bucketize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        P = planes_b.value
-        for pdf in it:
-            V = np.vstack(pdf[vec_col].values).astype("float64")
-            keys = ((V @ P.T) > 0).dot(1 << np.arange(P.shape[0]))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], vec_col: pdf[vec_col],
-                 "bucket": keys.astype("int64")}
-            )
 
-    bucketed = spread(embeddings.select(id_col, vec_col)).mapInPandas(
-        bucketize, schema=f"{id_col} long, {vec_col} array<float>, bucket long"
+def lsh_write_index(
+    bucketed: DataFrame, path: str, id_col: str = "vec_id"
+) -> None:
+    """Materialize the ingest-time LSH index: the ``lsh_assign`` output
+    written partitioned BY BUCKET, so an indexed query's probe filter
+    prunes whole partitions at the file listing — the same ingest-time
+    shape as ``ivf_write_index``.  Rows are repartitioned on the bucket
+    column first so each partition directory gets O(shuffle partitions /
+    n_buckets) files, not one file per (input partition x bucket)."""
+    bucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    probe_bits: int = 1,
+    seed: int = 3,
+) -> DataFrame:
+    """Approximate top-k over a materialized LSH index (``lsh_write_index``).
+
+    The bucket IN-filter is a partition-column predicate: Catalyst prunes
+    the non-probed bucket directories before any IO (asserted in
+    tests/test_plans.py), so the scan touches only the probed fraction of
+    the corpus and there is NO per-query assignment kernel pass.
+    ``num_planes``/``seed`` must match the ``lsh_assign`` call that built
+    the index."""
+    probes = lsh_probe_keys(
+        query, num_planes=num_planes, probe_bits=probe_bits, seed=seed
     )
+    assigned = spark.read.parquet(index_path)
     return (
-        bucketed.filter(F.col("bucket").isin(sorted(probes)))
+        assigned.filter(F.col("bucket").isin(probes))
         .select(F.col(id_col), cosine_col(F.col(vec_col), query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)

@@ -221,6 +221,40 @@ def test_ivf_indexed_query_prunes_partitions(spark, tmp_path):
     assert "MapInPandas" not in plan
 
 
+def test_lsh_indexed_query_prunes_partitions(spark, tmp_path):
+    # same ingest-time contract as the IVF index, for the hyperplane-LSH
+    # family: the materialized index is partitioned by bucket; the probe
+    # filter must prune directories before IO with no per-query
+    # assignment kernel, and the indexed result must equal the one-shot
+    # lsh_bucket_topk on the same corpus/query
+    import numpy as np
+
+    from crrf_det_spark.ops import (
+        lsh_assign,
+        lsh_bucket_topk,
+        lsh_topk_indexed,
+        lsh_write_index,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, rng.normal(size=8).astype("float32").tolist()) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "lsh_index")
+    lsh_write_index(lsh_assign(df, num_planes=4), path)
+    q = lsh_topk_indexed(spark, path, rows[0][1], k=5, num_planes=4)
+    plan = plan_of(q)
+    scan_chunk = plan[plan.index("Scan parquet"):]
+    part_line = next(
+        ln for ln in scan_chunk.splitlines() if "PartitionFilters" in ln
+    )
+    assert "bucket" in part_line and "IN" in part_line, part_line
+    assert "MapInPandas" not in plan
+    one_shot = lsh_bucket_topk(df, rows[0][1], k=5, num_planes=4).collect()
+    assert q.collect() == one_shot
+
+
 def test_no_driver_side_probes_outside_whitelist():
     # repo invariant (CLAUDE.md): no driver-side .first()/.collect() size
     # probes inside operators — each one costs a whole extra job.  The
@@ -278,32 +312,3 @@ def test_search_adhoc_prefilter_below_generate(spark, queries):
             break
     assert gen_ids and contains_filter_id is not None, plan
     assert contains_filter_id < min(gen_ids), (contains_filter_id, gen_ids)
-
-
-def test_no_unsanctioned_driver_collects():
-    # repo invariant (CLAUDE.md): no driver-side .first()/.collect() size
-    # probes inside operators.  The sanctioned sites are exactly: the
-    # connected-components convergence checksum (one tiny aggregate row
-    # per round), the hard-capped IVF k-means training sample, and the
-    # tagging per-partition offset collect (one long per partition).
-    # Anything new must be added here WITH a bounded-size justification.
-    import pathlib
-    import re
-
-    pkg = pathlib.Path("/root/repo/crrf_det_spark")
-    sanctioned = {
-        ("ops/components.py", "_checksum"),
-        ("ops/similarity.py", "ivf_train"),
-        ("tagging.py", "global_entry_ids"),
-    }
-    found = set()
-    for path in sorted(pkg.rglob("*.py")):
-        fn = None
-        for ln in path.read_text().splitlines():
-            m = re.match(r"def (\w+)", ln)
-            if m:
-                fn = m.group(1)
-            code = ln.split("#")[0]
-            if ".collect()" in code or ".first()" in code:
-                found.add((str(path.relative_to(pkg)), fn))
-    assert found == sanctioned, found
