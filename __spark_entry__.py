@@ -1183,12 +1183,20 @@ LIMIT 10
 
 
 def _q_text_tokens(spark, sf):
-    # token counting (ws + punctuation-aware proxy)
+    # token counting: whitespace tokens + the BPE-ish subword proxy
+    # (ops/textstats.token_counts).  The proxy's boundary-split count has
+    # the closed form (word runs) + (non-ws non-word chars), which the
+    # oracle recomputes with two regexp_extract_all counts (the char
+    # class spells out Java's ASCII \\s explicitly, incl. \\x0b).
+    from crrf_det_spark.ops.textstats import token_counts
+
     d = _t(spark, sf, "documents")
     toks = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    counts = token_counts(F.col("text"))
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens_ws"),
+        counts["n_tokens_bpe"].alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_txt"),
     ).orderBy("doc_id")
 
@@ -1196,6 +1204,8 @@ def _q_text_tokens(spark, sf):
 _O_TEXT_TOKENS = """
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '\\w+'))
+         + len(regexp_extract_all(text, '[^\\w\\t\\n\\x0b\\f\\r ]')) AS n_tokens_bpe,
        length(text) AS n_chars_txt
 FROM documents ORDER BY doc_id
 """

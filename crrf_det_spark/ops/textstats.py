@@ -72,12 +72,19 @@ def quality_score(text: Column) -> Column:
 
 def token_counts(text: Column) -> dict[str, Column]:
     """Whitespace tokens and a BPE-ish subword proxy count
-    (words + standalone punctuation + digit runs)."""
+    (words + standalone punctuation + digit runs).
+
+    The boundary split isolates every ``\\W`` char as its own piece;
+    keeping only pieces with a non-whitespace char makes the count
+    exactly (word runs) + (non-whitespace non-word chars) — the closed
+    form the ``text_tokens`` SQL oracle recomputes.  (``trim`` was the
+    old filter; it only strips spaces, so bare newline/tab pieces
+    wrongly counted as tokens.)"""
     ws = F.size(_tokens(text))
     bpe_ish = F.size(
         F.filter(
             F.split(text, r"(?<=\W)|(?=\W)"),
-            lambda t: F.trim(t) != "",
+            lambda t: t.rlike(r"\S"),
         )
     )
     return {"n_tokens_ws": ws, "n_tokens_bpe": bpe_ish}
