@@ -1100,18 +1100,18 @@ def _q_ann_ivf(spark, sf):
     # -> probe -> rank) is still exercised and value-checked.  Production
     # uses n_probe < n_centroids for the scan-fraction win; partial-probe
     # recall is covered by TestSimilarity::test_ivf_finds_top1.
-    from crrf_det_spark.ops.similarity import ivf_topk
+    from crrf_det_spark.ops.similarity import ivf_topk_oneshot
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
-    return ivf_topk(
+    return ivf_topk_oneshot(
         emb, query, k=10, n_centroids=8, n_probe=8, sample_fraction=0.5
     ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def _q_ann_lsh(spark, sf):
-    # hyperplane-LSH approximate top-k (ops/similarity.lsh_bucket_topk):
+    # hyperplane-LSH approximate top-k (ops/similarity.lsh_bucket_topk_oneshot):
     # bucket = 8-bit sign pattern of seeded hyperplane projections; only
     # rows whose bucket is within 1 bit flip of the query's bucket are
     # scored.  The oracle (_oracle_ann_lsh) inlines the identical float32
@@ -1119,12 +1119,12 @@ def _q_ann_lsh(spark, sf):
     # bucket, the xor-based probe test, and the within-probe cosine top-k
     # entirely in SQL — so the pruning decision itself is value-checked,
     # not just the final ranking.
-    from crrf_det_spark.ops import lsh_bucket_topk
+    from crrf_det_spark.ops import lsh_bucket_topk_oneshot
 
     emb = _t(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     query = [1.0 if i % 7 == 0 else 0.1 for i in range(dim)]
-    out = lsh_bucket_topk(
+    out = lsh_bucket_topk_oneshot(
         emb, query, k=10, num_planes=8, probe_bits=1, seed=3
     )
     return out.select("vec_id", F.round("cosine", 4).alias("cosine"))

@@ -24,12 +24,12 @@ from .components import (  # noqa: F401
 from .similarity import (  # noqa: F401
     brute_force_topk,
     ivf_assign,
-    ivf_topk,
+    ivf_topk_oneshot,
     ivf_topk_indexed,
     ivf_train,
     ivf_write_index,
     lsh_assign,
-    lsh_bucket_topk,
+    lsh_bucket_topk_oneshot,
     lsh_probe_keys,
     lsh_topk_indexed,
     lsh_write_index,

@@ -51,7 +51,7 @@ def curate_corpus(
     Reference parity note: the reference has no curation stage (its unit
     is one PDF); this operator is part of the additive LLM-training-data
     surface, composing textstats + exact dedup the way project filter
-    batches compose search filters (reference src/service/work/project.py).
+    batches compose search filters (reference src/task/project.py).
     """
     t = F.col(text_col)
     counts = token_counts(t)

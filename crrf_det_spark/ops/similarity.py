@@ -1,22 +1,33 @@
 """Similarity search over an embedding column (array<float>).
 
+PRODUCTION (100 TB) SHAPE — build the index once at ingest, prune at
+query time; this is the path a repeated-query deployment should reach
+first:
+
+* LSH index: lsh_assign (one vectorized hyperplane-sign bucketing pass)
+  + lsh_write_index (materialize PARTITIONED BY bucket at ingest) +
+  lsh_topk_indexed (partition-pruned multi-probe: reads only the probed
+  buckets, no per-query kernel pass).  Recall < 1.0 by construction;
+  num_planes/probe radius trade recall for cost.
+* IVF index: ivf_train (bounded driver-side k-means) + ivf_assign (one
+  vectorized nearest-centroid pass) + ivf_write_index (materialize the
+  assignment PARTITIONED BY centroid at ingest) + ivf_topk_indexed
+  (partition-pruned probe: reads n_probe/n_centroids of the data, no
+  per-query kernel pass).
+
+AD-HOC / ORACLE SHAPES — correct, but every query pays a full-corpus
+pass; do not point these at a real corpus in a query loop:
+
 * brute_force_topk: exact cosine top-k -- the correctness baseline.  The
   dot product is a pure Catalyst expression (zip_with + aggregate), so the
   scan stays JVM-side and whole-stage-codegen'd; top-k is an orderBy+limit
   which Spark executes as a per-partition TakeOrdered (no full sort
   shuffle).
-* LSH family: lsh_assign (one vectorized hyperplane-sign bucketing pass)
-  + lsh_write_index (materialize PARTITIONED BY bucket at ingest) +
-  lsh_topk_indexed (partition-pruned multi-probe: reads only the probed
-  buckets, no per-query kernel pass).  lsh_bucket_topk is the one-shot
-  assign+probe variant for ad-hoc queries.  Recall < 1.0 by construction;
-  num_planes/probe radius trade recall for cost.
-* IVF family: ivf_train (bounded driver-side k-means) + ivf_assign (one
-  vectorized nearest-centroid pass) + ivf_write_index (materialize the
-  assignment PARTITIONED BY centroid at ingest) + ivf_topk_indexed
-  (partition-pruned probe: reads n_probe/n_centroids of the data, no
-  per-query kernel pass).  ivf_topk is the one-shot train+assign+probe
-  variant for ad-hoc queries.
+* ivf_topk_oneshot / lsh_bucket_topk_oneshot: one-shot train+assign+probe
+  for a single ad-hoc query (the whole corpus passes through the
+  assignment kernel each call).  Equality with the indexed variants is
+  pinned in tests; the ``_oneshot`` suffix exists so the indexed path is
+  the default discovery.
 """
 
 from __future__ import annotations
@@ -185,7 +196,7 @@ def ivf_topk_indexed(
     prunes the non-probed centroid directories before any IO (asserted in
     tests/test_plans.py), so the scan touches only the probed fraction of
     the corpus and there is NO per-query assignment kernel pass — the
-    100 TB shape the one-shot ``ivf_topk`` docstring promises.
+    100 TB shape the one-shot ``ivf_topk_oneshot`` docstring promises.
     """
     probes = probe_centroids(centroids, query, n_probe)
     assigned = spark.read.parquet(index_path)
@@ -197,7 +208,7 @@ def ivf_topk_indexed(
     )
 
 
-def ivf_topk(
+def ivf_topk_oneshot(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
@@ -236,7 +247,7 @@ def ivf_topk(
     )
 
 
-def lsh_bucket_topk(
+def lsh_bucket_topk_oneshot(
     embeddings: DataFrame,
     query: list[float],
     k: int = 10,
@@ -254,6 +265,11 @@ def lsh_bucket_topk(
     oracle can inline the identical constants as SQL list literals and
     reproduce the bucket assignment, the query's own bucket, and the
     bit-flip probe test bit-for-bit (see __spark_entry__ ``ann_lsh``).
+    NOTE (round-3 behavior change): this switched the plane constants
+    from float64 to float32-truncated, so bucket assignments — and hence
+    approximate results — for the same (seed, num_planes) differ from
+    pre-round-3 runs; comparisons against older outputs are expected to
+    diverge and are not a regression.
 
     One-shot shape: the whole corpus passes through the assignment
     kernel per query.  For repeated queries over a static corpus,

@@ -1,18 +1,32 @@
 """Minimal real PDF text extraction for tool-emitted payloads.
 
 The reference shells out to poppler (pdftotext/docmt,
-/root/reference/src/tpdf/docmt.py:33-64); no PDF library ships in this
-container, but the subset tool-emitted PDFs actually use is parseable with
-the stdlib: FlateDecode is plain zlib, and text sits in content streams as
-``BT .. ET`` blocks of ``Tj``/``TJ``/``'``/``"`` show operators with
-``Td/TD/T*/Tm`` line positioning.
+/root/reference/src/tpdf/docmt.py:33-64), which handles arbitrary font
+encodings; no PDF library ships in this container, but the subset
+tool-emitted PDFs actually use is parseable with the stdlib: FlateDecode
+is plain zlib, and text sits in content streams as ``BT .. ET`` blocks of
+``Tj``/``TJ``/``'``/``"`` show operators with ``Td/TD/T*/Tm`` line
+positioning.
 
-Supported: uncompressed or FlateDecode content streams, literal ``(..)``
-strings (with escapes and octal), hex ``<..>`` strings (1-byte latin-ish
-codes), line breaks from Td/TD/T*/Tm vertical moves.  Not supported (the
-parser skips them rather than erroring): CID/Type0 multi-byte encodings,
-encrypted documents, object streams -- real tool output for logs/reports
-overwhelmingly uses the simple form.
+Two parsing paths, tried in order:
+
+* **Document path** (round 4): parse the object table — classic
+  ``N G obj``  bodies, PDF 1.5 cross-reference streams (``/Type /XRef``
+  with ``/W`` field widths and PNG-predictor FlateDecode), and object
+  streams (``/Type /ObjStm``) — then walk Catalog -> Pages -> Page for
+  page order, resolve each page's ``/Contents`` and ``/Resources /Font``
+  map, and decode show-operator strings through each font's
+  ``/ToUnicode`` CMap (``bfchar``/``bfrange``, 1- or 2-byte codespaces,
+  UTF-16BE targets).  This is what makes CID/Type0-encoded tool PDFs
+  extract real text instead of byte soup.
+* **Raw-scan fallback**: when no resolvable Page objects exist (stream
+  fragments, damaged files), scan for FlateDecode/plain content streams
+  containing ``BT`` and decode strings as latin-1 — the round-1 behavior,
+  unchanged.
+
+Still not supported (the parser skips rather than erroring): encrypted
+documents, non-Flate stream codecs, font ``/Differences`` encodings
+without a ToUnicode CMap.
 
 The extracted lines feed the SAME grid kernel as plain-text turns, so PDF
 payloads get identical layout analysis (columns, tables, boilerplate).
@@ -21,6 +35,7 @@ payloads get identical layout analysis (columns, tables, boilerplate).
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 # the dict must be the one BELONGING to this stream: `[^<>]|<<.*?>>`
@@ -30,78 +45,407 @@ import zlib
 _STREAM_RE = re.compile(
     rb"<<((?:[^<>]|<<.*?>>)*?)>>\s*stream\r?\n", re.DOTALL
 )
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.DOTALL)
 _ESCAPES = {
-    b"n": "\n", b"r": "\r", b"t": "\t", b"b": "\b", b"f": "\f",
-    b"(": "(", b")": ")", b"\\": "\\",
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
 }
 
 
+# ---------------------------------------------------------------------------
+# stream decoding (Flate + PNG predictor)
+# ---------------------------------------------------------------------------
+
+def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
+    """Reverse PNG row filters (predictor >= 10).  Each row is one filter
+    byte + `columns` bytes; xref streams use 8-bit single-component
+    samples so bpp is the byte width of one sample."""
+    row_len = columns
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    while pos + 1 + row_len <= len(data):
+        ftype = data[pos]
+        row = bytearray(data[pos + 1: pos + 1 + row_len])
+        pos += 1 + row_len
+        if ftype == 1:  # Sub
+            for i in range(bpp, row_len):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_len):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_len):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_len):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        # ftype 0 (None) and unknown: row unchanged
+        out.extend(row)
+        prev = row
+    return bytes(out)
+
+
+def _decode_stream(d: bytes, data: bytes) -> bytes | None:
+    """Apply the dict's /Filter (+ /DecodeParms predictor) to raw stream
+    bytes; None when the codec is unsupported or corrupt."""
+    if b"/FlateDecode" in d:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return None
+    elif re.search(rb"/Filter\s*[/\[]", d):
+        return None  # other codecs unsupported
+    m = re.search(rb"/Predictor\s+(\d+)", d)
+    if m and int(m.group(1)) >= 10:
+        cm = re.search(rb"/Columns\s+(\d+)", d)
+        columns = int(cm.group(1)) if cm else 1
+        data = _png_unpredict(data, columns)
+    return data
+
+
+def _object_stream_parts(body: bytes) -> tuple[bytes, bytes] | None:
+    """(dict_bytes, decoded_stream_bytes) of an object body holding a
+    stream, or None."""
+    m = _STREAM_RE.search(body)
+    if not m:
+        return None
+    start = m.end()
+    end = body.find(b"endstream", start)
+    if end < 0:
+        return None
+    data = _decode_stream(m.group(1), body[start:end].rstrip(b"\r\n"))
+    if data is None:
+        return None
+    return m.group(1), data
+
+
+# ---------------------------------------------------------------------------
+# object table: classic bodies + xref streams + object streams
+# ---------------------------------------------------------------------------
+
+def _xref_stream_entries(payload: bytes) -> dict[int, tuple[int, int, int]]:
+    """Follow startxref to /Type /XRef stream(s) -> {objnum: (type, f2, f3)}.
+
+    Classic `xref` tables are not needed here (the raw object scan already
+    finds their objects); xref STREAMS matter because their type-2 entries
+    are the only pointer to objects packed inside object streams."""
+    entries: dict[int, tuple[int, int, int]] = {}
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", payload):
+        pass  # last startxref wins (incremental updates)
+    offset = int(m.group(1)) if m else None
+    seen: set[int] = set()
+    while offset is not None and offset not in seen and offset < len(payload):
+        seen.add(offset)
+        om = _OBJ_RE.match(payload, _skip_objnum_ws(payload, offset))
+        if not om:
+            break
+        body = om.group(2)
+        if b"/XRef" not in body:
+            break
+        parts = _object_stream_parts(body)
+        if not parts:
+            break
+        d, data = parts
+        wm = re.search(rb"/W\s*\[([^\]]*)\]", d)
+        if not wm:
+            break
+        w = [int(x) for x in wm.group(1).split()]
+        entry_len = sum(w)
+        im = re.search(rb"/Index\s*\[([^\]]*)\]", d)
+        if im:
+            idx = [int(x) for x in im.group(1).split()]
+        else:
+            sm = re.search(rb"/Size\s+(\d+)", d)
+            idx = [0, int(sm.group(1))] if sm else [0, len(data) // entry_len]
+        pos = 0
+
+        def field(width: int, at: int) -> int:
+            if width == 0:
+                return 0
+            return int.from_bytes(data[at: at + width], "big")
+
+        for start, count in zip(idx[::2], idx[1::2]):
+            for i in range(count):
+                at = pos + i * entry_len
+                if at + entry_len > len(data):
+                    break
+                t = field(w[0], at) if w[0] else 1
+                f2 = field(w[1], at + w[0])
+                f3 = field(w[2], at + w[0] + w[1])
+                entries.setdefault(start + i, (t, f2, f3))
+            pos += count * entry_len
+        pm = re.search(rb"/Prev\s+(\d+)", d)
+        offset = int(pm.group(1)) if pm else None
+    return entries
+
+
+def _skip_objnum_ws(payload: bytes, offset: int) -> int:
+    """xref offsets point at the object NUMBER; _OBJ_RE matches from
+    there, so this is identity — kept for clarity at call sites."""
+    return offset
+
+
+def _objects(payload: bytes) -> dict[int, bytes]:
+    """objnum -> object body bytes, from (a) a raw scan of classic
+    ``N G obj .. endobj`` bodies, (b) object streams (/Type /ObjStm)
+    expanded via the xref-stream entries or — when no usable xref stream
+    exists — via a direct scan for ObjStm dicts."""
+    objs: dict[int, bytes] = {}
+    objstm_nums: list[int] = []
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        body = m.group(2)
+        objs.setdefault(num, body)
+        if b"/ObjStm" in body:
+            objstm_nums.append(num)
+    # xref-stream type-2 entries name the object streams explicitly
+    for num, (t, f2, _f3) in _xref_stream_entries(payload).items():
+        if t == 2 and f2 not in objstm_nums and f2 in objs:
+            objstm_nums.append(f2)
+    for snum in objstm_nums:
+        parts = _object_stream_parts(objs.get(snum, b""))
+        if not parts:
+            continue
+        d, data = parts
+        nm = re.search(rb"/N\s+(\d+)", d)
+        fm = re.search(rb"/First\s+(\d+)", d)
+        if not (nm and fm):
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        offsets: list[tuple[int, int]] = []
+        for i in range(0, min(len(header), 2 * n), 2):
+            try:
+                offsets.append((int(header[i]), int(header[i + 1])))
+            except (ValueError, IndexError):
+                break
+        for i, (onum, ooff) in enumerate(offsets):
+            end = (
+                first + offsets[i + 1][1]
+                if i + 1 < len(offsets)
+                else len(data)
+            )
+            objs.setdefault(onum, data[first + ooff: end])
+    return objs
+
+
+def _ref(d: bytes, name: bytes) -> int | None:
+    m = re.search(rb"/" + name + rb"\s+(\d+)\s+\d+\s+R", d)
+    return int(m.group(1)) if m else None
+
+
+def _balanced_dict(d: bytes, start: int) -> bytes | None:
+    """d[start:] begins with '<<'; return the balanced <<..>> slice."""
+    depth = 0
+    i = start
+    while i < len(d) - 1:
+        pair = d[i: i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return d[start:i]
+        else:
+            i += 1
+    return None
+
+
+def _dict_value(objs: dict[int, bytes], d: bytes, name: bytes) -> bytes | None:
+    """/Name <<inline dict>> or /Name N 0 R (resolved) -> dict bytes."""
+    m = re.search(rb"/" + name + rb"\s*(<<|\d+\s+\d+\s+R)", d)
+    if not m:
+        return None
+    if m.group(1) == b"<<":
+        return _balanced_dict(d, m.start(1))
+    num = int(m.group(1).split()[0])
+    return objs.get(num)
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps
+# ---------------------------------------------------------------------------
+
+def _utf16be_hex(h: bytes) -> str:
+    raw = bytes.fromhex(h.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
+    """ToUnicode CMap stream -> ({code: text}, code byte width)."""
+    cmap: dict[int, str] = {}
+    width = 0
+    m = re.search(
+        rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", data
+    )
+    if m:
+        width = max(1, len(m.group(1)) // 2)
+    for block in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", data, re.DOTALL
+    ):
+        for pm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", block.group(1)
+        ):
+            src = int(pm.group(1), 16)
+            if not width:
+                width = max(1, len(pm.group(1)) // 2)
+            cmap[src] = _utf16be_hex(pm.group(2))
+    for block in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", data, re.DOTALL
+    ):
+        body = block.group(1)
+        # <lo> <hi> [<d1> <d2> ...] form
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\]",
+            body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if not width:
+                width = max(1, len(rm.group(1)) // 2)
+            dsts = re.findall(rb"<([0-9A-Fa-f]+)>", rm.group(3))
+            for i, dst in enumerate(dsts[: hi - lo + 1]):
+                cmap[lo + i] = _utf16be_hex(dst)
+        # <lo> <hi> <dst> form (dst increments)
+        for rm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>",
+            body,
+        ):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if not width:
+                width = max(1, len(rm.group(1)) // 2)
+            base = _utf16be_hex(rm.group(3))
+            if not base:
+                continue
+            for i in range(hi - lo + 1):
+                cmap[lo + i] = base[:-1] + chr(ord(base[-1]) + i)
+    return cmap, (width or 1)
+
+
+def _page_fonts(
+    objs: dict[int, bytes], page: bytes
+) -> dict[bytes, tuple[dict[int, str], int]]:
+    """Page dict -> {font resource name: (cmap, code width)} for fonts
+    carrying a ToUnicode CMap; fonts without one decode as latin-1."""
+    fonts: dict[bytes, tuple[dict[int, str], int]] = {}
+    res = _dict_value(objs, page, b"Resources")
+    if not res:
+        return fonts
+    fd = _dict_value(objs, res, b"Font")
+    if not fd:
+        return fonts
+    for fm in re.finditer(rb"/([A-Za-z0-9_.+-]+)\s+(\d+)\s+\d+\s+R", fd):
+        fobj = objs.get(int(fm.group(2)))
+        if not fobj:
+            continue
+        tu = _ref(fobj, b"ToUnicode")
+        if tu is None or tu not in objs:
+            continue
+        parts = _object_stream_parts(objs[tu])
+        if not parts:
+            continue
+        cmap, width = _parse_cmap(parts[1])
+        if cmap:
+            fonts[fm.group(1)] = (cmap, width)
+    return fonts
+
+
+# ---------------------------------------------------------------------------
+# content-stream walking
+# ---------------------------------------------------------------------------
+
 def _content_streams(payload: bytes):
-    """Yield decompressed content-stream bytes from a raw PDF body."""
+    """Raw-scan fallback: yield decompressed content-stream bytes."""
     for m in _STREAM_RE.finditer(payload):
         start = m.end()
         end = payload.find(b"endstream", start)
         if end < 0:
             continue
-        data = payload[start:end].rstrip(b"\r\n")
-        d = m.group(1)
-        if b"/FlateDecode" in d:
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                continue
-        elif re.search(rb"/Filter\s*[/\[]", d):
-            continue  # other codecs unsupported
-        if b"BT" in data:
+        data = _decode_stream(m.group(1), payload[start:end].rstrip(b"\r\n"))
+        if data is not None and b"BT" in data:
             yield data
 
 
-def _decode_literal(body: bytes) -> str:
-    """PDF literal string body (between parens) -> text."""
-    out: list[str] = []
+def _decode_literal_bytes(body: bytes) -> bytes:
+    """PDF literal string body (between parens) -> raw string bytes."""
+    out = bytearray()
     i = 0
     while i < len(body):
-        c = body[i: i + 1]
-        if c == b"\\" and i + 1 < len(body):
+        c = body[i]
+        if c == 0x5C and i + 1 < len(body):  # backslash
             nxt = body[i + 1: i + 2]
             if nxt in _ESCAPES:
-                out.append(_ESCAPES[nxt])
+                out.extend(_ESCAPES[nxt])
                 i += 2
                 continue
             if nxt.isdigit():  # octal, up to 3 digits
                 j = i + 1
                 while j < min(i + 4, len(body)) and body[j: j + 1].isdigit():
                     j += 1
-                out.append(chr(int(body[i + 1: j], 8) & 0xFF))
+                out.append(int(body[i + 1: j], 8) & 0xFF)
                 i = j
                 continue
             i += 2  # line continuation / unknown escape: drop backslash
             continue
-        out.append(c.decode("latin-1"))
+        out.append(c)
         i += 1
-    return "".join(out)
+    return bytes(out)
 
 
 # one token of a content stream we care about
 _TOK_RE = re.compile(
     rb"\((?P<lit>(?:[^()\\]|\\.)*)\)"       # literal string
     rb"|<(?P<hex>[0-9A-Fa-f\s]*)>"          # hex string
+    rb"|/(?P<name>[A-Za-z0-9_.+-]+)"        # name (font selection)
     rb"|(?P<num>[-+]?\d*\.?\d+)"            # number
     rb"|(?P<op>[A-Za-z'\"*]+)"              # operator
 )
 
 
-def _stream_lines(data: bytes) -> list[str]:
+def _show_text(
+    raw: bytes, font: tuple[dict[int, str], int] | None
+) -> str:
+    """Raw show-string bytes -> text, through the current font's CMap
+    (code-width grouping, UTF-16BE targets) or latin-1 when the font has
+    no ToUnicode map."""
+    if font is None:
+        return raw.decode("latin-1")
+    cmap, width = font
+    out = []
+    for i in range(0, len(raw) - width + 1, width):
+        code = int.from_bytes(raw[i: i + width], "big")
+        out.append(cmap.get(code, "�"))
+    return "".join(out)
+
+
+def _stream_lines(
+    data: bytes,
+    fonts: dict[bytes, tuple[dict[int, str], int]] | None = None,
+) -> list[str]:
     """Walk one content stream's text operators -> text lines.
 
-    String tokens are buffered until their show operator arrives, because
-    ``'`` / ``"`` mean move-to-next-line-THEN-show; TJ arrays deliver
-    several buffered strings (the interleaved numbers are kerning and are
-    ignored)."""
+    String tokens are buffered RAW until their show operator arrives (the
+    current font decides decoding, and ``'`` / ``"`` mean
+    move-to-next-line-THEN-show); TJ arrays deliver several buffered
+    strings (the interleaved numbers are kerning and are ignored)."""
     lines: list[str] = []
     cur: list[str] = []
-    strings: list[str] = []
+    strings: list[bytes] = []
     nums: list[float] = []
+    last_name: bytes | None = None
+    font: tuple[dict[int, str], int] | None = None
 
     def newline():
         nonlocal cur
@@ -109,15 +453,21 @@ def _stream_lines(data: bytes) -> list[str]:
             lines.append("".join(cur).rstrip())
             cur = []
 
+    def show():
+        cur.extend(_show_text(s, font) for s in strings)
+
     for m in _TOK_RE.finditer(data):
         if m.group("lit") is not None:
-            strings.append(_decode_literal(m.group("lit")))
+            strings.append(_decode_literal_bytes(m.group("lit")))
             continue
         if m.group("hex") is not None:
             h = re.sub(rb"\s", b"", m.group("hex"))
             if len(h) % 2:
                 h += b"0"
-            strings.append(bytes.fromhex(h.decode("ascii")).decode("latin-1"))
+            strings.append(bytes.fromhex(h.decode("ascii")))
+            continue
+        if m.group("name") is not None:
+            last_name = m.group("name")
             continue
         if m.group("num") is not None:
             try:
@@ -127,12 +477,14 @@ def _stream_lines(data: bytes) -> list[str]:
             continue
         op = m.group("op")
         if op in (b"Tj", b"TJ"):
-            cur.extend(strings)
+            show()
         elif op in (b"'", b'"'):
             newline()
-            cur.extend(strings)
+            show()
         elif op == b"T*":
             newline()
+        elif op == b"Tf" and fonts is not None and last_name is not None:
+            font = fonts.get(last_name)
         elif op in (b"Td", b"TD"):
             # vertical move => new line; pure horizontal move keeps line
             if len(nums) >= 2 and nums[-1] != 0:
@@ -147,14 +499,94 @@ def _stream_lines(data: bytes) -> list[str]:
     return [ln for ln in lines if ln.strip()]
 
 
+# ---------------------------------------------------------------------------
+# document walk (pages in Catalog order, fonts resolved per page)
+# ---------------------------------------------------------------------------
+
+def _page_order(objs: dict[int, bytes]) -> list[int] | None:
+    """Page object numbers in Catalog -> Pages -> Kids order."""
+    root = None
+    for body in objs.values():
+        if re.search(rb"/Type\s*/Catalog\b", body):
+            root = body
+            break
+    if root is None:
+        return None
+    pages_ref = _ref(root, b"Pages")
+    if pages_ref is None or pages_ref not in objs:
+        return None
+    order: list[int] = []
+    stack = [pages_ref]
+    seen: set[int] = set()
+    while stack:
+        num = stack.pop(0)
+        if num in seen or num not in objs:
+            continue
+        seen.add(num)
+        body = objs[num]
+        if re.search(rb"/Type\s*/Page\b", body):
+            order.append(num)
+            continue
+        km = re.search(rb"/Kids\s*\[([^\]]*)\]", body)
+        if km:
+            kids = re.findall(rb"(\d+)\s+\d+\s+R", km.group(1))
+            stack = [int(k) for k in kids] + stack
+    return order or None
+
+
+def _page_content(objs: dict[int, bytes], page: bytes) -> list[bytes]:
+    """Decoded content stream(s) of one page."""
+    cm = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", page)
+    if not cm:
+        return []
+    refs = [int(n) for n in re.findall(rb"(\d+)\s+\d+\s+R", cm.group(1))]
+    out = []
+    for num in refs:
+        parts = _object_stream_parts(objs.get(num, b""))
+        if parts:
+            out.append(parts[1])
+    return out
+
+
+def _document_lines(payload: bytes) -> list[str] | None:
+    """Object-table path: pages in catalog order, per-page font CMaps.
+    None when the document structure is absent/unresolvable (raw-scan
+    fallback applies)."""
+    objs = _objects(payload)
+    if not objs:
+        return None
+    order = _page_order(objs)
+    if not order:
+        return None
+    out: list[str] = []
+    any_content = False
+    for num in order:
+        page = objs[num]
+        fonts = _page_fonts(objs, page)
+        streams = _page_content(objs, page)
+        if streams:
+            any_content = True
+        lines: list[str] = []
+        for data in streams:
+            lines.extend(_stream_lines(data, fonts))
+        if lines and out:
+            out.append("")
+        out.extend(lines)
+    return out if any_content else None
+
+
 def pdf_text_lines(payload: bytes) -> list[str]:
     """PDF payload -> text lines (empty when nothing parseable).
 
-    Content streams (≈ pages) are separated by one blank line so the
-    downstream grid kernel never merges blocks across page boundaries --
-    the text-space analogue of the reference's per-page processing."""
+    Pages (document path) / content streams (fallback) are separated by
+    one blank line so the downstream grid kernel never merges blocks
+    across page boundaries -- the text-space analogue of the reference's
+    per-page processing."""
     if not payload or not payload.startswith(b"%PDF"):
         return []
+    doc = _document_lines(payload)
+    if doc is not None:
+        return doc
     out: list[str] = []
     for data in _content_streams(payload):
         lines = _stream_lines(data)
@@ -173,7 +605,7 @@ def looks_like_pdf(payload: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# tiny writer (tests / fixtures): one page, one Flate content stream
+# tiny writers (tests / fixtures)
 # ---------------------------------------------------------------------------
 
 def make_pdf(lines: list[str], compress: bool = True) -> bytes:
@@ -206,3 +638,114 @@ def make_pdf(lines: list[str], compress: bool = True) -> bytes:
     ]
     body = b"%PDF-1.4\n" + b"\n".join(objs)
     return body + b"\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+
+
+def _png_predict_up(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up filter (predictor 12) row-wise — the form real
+    writers emit for xref streams."""
+    out = bytearray()
+    prev = bytes(columns)
+    for at in range(0, len(data), columns):
+        row = data[at: at + columns].ljust(columns, b"\x00")
+        out.append(2)  # Up
+        out.extend((row[i] - prev[i]) & 0xFF for i in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def make_pdf_cid(lines: list[str]) -> bytes:
+    """Build a single-page PDF whose text uses a 2-byte CID-style font
+    with a /ToUnicode CMap, whose catalog/page/font dicts live inside an
+    OBJECT STREAM, and whose cross-reference is a PDF 1.5 XREF STREAM
+    (FlateDecode + PNG Up predictor).  Codes are deliberately offset from
+    the characters they map to, so a latin-1 fallback decode produces
+    garbage — extraction only succeeds through the document path.
+
+    Fixture writer for tests (reference parity: poppler handles these
+    encodings natively, /root/reference/src/tpdf/docmt.py:33-64)."""
+    charset = sorted({ch for ln in lines for ch in ln})
+    code_of = {ch: 0x0100 + i for i, ch in enumerate(charset)}
+
+    # --- ToUnicode CMap (object 6, classic body, Flate) ---
+    bfchars = "\n".join(
+        f"<{code:04X}> <{ord(ch):04X}>" for ch, code in code_of.items()
+    )
+    cmap_src = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "begincmap\n"
+        "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        f"{len(code_of)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap\nend\n"
+    ).encode("latin-1")
+    cmap_z = zlib.compress(cmap_src)
+
+    # --- content stream (object 4, classic body, Flate) ---
+    ops = ["BT", "/F1 11 Tf", "72 760 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        hexstr = "".join(f"{code_of[ch]:04X}" for ch in ln)
+        ops.append(f"<{hexstr}> Tj")
+    ops.append("ET")
+    content_z = zlib.compress("\n".join(ops).encode("latin-1"))
+
+    # --- object stream (object 7) holding objects 1,2,3,5 ---
+    inner = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+        (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+        (5, b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+            b"/Encoding /Identity-H /ToUnicode 6 0 R >>"),
+    ]
+    offs = []
+    blob = bytearray()
+    for num, body in inner:
+        offs.append((num, len(blob)))
+        blob.extend(body + b"\n")
+    header = " ".join(f"{n} {o}" for n, o in offs).encode("ascii") + b"\n"
+    objstm_plain = header + bytes(blob)
+    objstm_z = zlib.compress(objstm_plain)
+
+    # --- assemble body, tracking byte offsets for the xref stream ---
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj " % num + body + b" endobj\n")
+
+    emit(4, b"<< /Length %d /Filter /FlateDecode >> stream\n%s\nendstream"
+         % (len(content_z), content_z))
+    emit(6, b"<< /Length %d /Filter /FlateDecode >> stream\n%s\nendstream"
+         % (len(cmap_z), cmap_z))
+    emit(7, b"<< /Type /ObjStm /N %d /First %d /Length %d "
+         b"/Filter /FlateDecode >> stream\n%s\nendstream"
+         % (len(inner), len(header), len(objstm_z), objstm_z))
+
+    # xref stream entries for objects 0..8 (object 8 = the xref stream)
+    xref_offset = len(out)
+    w = (1, 4, 2)
+    rows = []
+    for num in range(9):
+        if num == 0:
+            rows.append((0, 0, 0xFFFF))
+        elif num in offsets:
+            rows.append((1, offsets[num], 0))
+        elif num == 8:
+            rows.append((1, xref_offset, 0))
+        else:  # packed in object stream 7
+            idx = next(i for i, (n, _) in enumerate(inner) if n == num)
+            rows.append((2, 7, idx))
+    raw = b"".join(
+        struct.pack(">B", t) + struct.pack(">I", f2) + struct.pack(">H", f3)
+        for t, f2, f3 in rows
+    )
+    columns = sum(w)
+    xref_z = zlib.compress(_png_predict_up(raw, columns))
+    emit(8, b"<< /Type /XRef /Size 9 /W [1 4 2] /Root 1 0 R "
+         b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns %d >> "
+         b"/Length %d >> stream\n%s\nendstream"
+         % (columns, len(xref_z), xref_z))
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_offset)
+    return bytes(out)

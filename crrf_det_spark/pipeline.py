@@ -26,6 +26,7 @@ Scale design (for a 1000-executor cluster over ~10^12 turns):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -49,7 +50,29 @@ def build_session(
     app: str = "crrf_det_spark",
     master: str = "local[*]",
     shuffle_partitions: int = 32,
+    cores: int | None = None,
 ) -> SparkSession:
+    # GC thread sizing needs the task-slot count; parse it from an
+    # explicit local[N] master when the caller didn't pass it.
+    if cores is None and master.startswith("local["):
+        inner = master[len("local["):-1]
+        cores = int(inner) if inner.isdigit() else None
+    if cores is None:
+        cores = os.cpu_count() or 8
+    # cap GC worker threads: the JVM sizes them from the machine's
+    # core count, but in this engine the cores belong to the Python
+    # kernel workers (one per task slot) — default-sized GC pools
+    # fight them for CPU and cost ~18% extraction throughput at
+    # local[32] (measured: 61-63s -> 50-53s on the 1M-turn bench
+    # corpus).  The cap scales DOWN with the session's task slots
+    # (a local[4] leg must not run 8 GC threads against 4 kernel
+    # workers); on a real cluster executors have few cores per JVM,
+    # where this is at or above the default — a no-op.
+    gc_threads = max(2, min(8, cores))
+    conc_gc = max(1, gc_threads // 4)
+    gc_opts = (
+        f"-XX:ParallelGCThreads={gc_threads} -XX:ConcGCThreads={conc_gc}"
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app)
@@ -62,17 +85,13 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
-        # cap GC worker threads: the JVM sizes them from the machine's
-        # core count, but in this engine the cores belong to the Python
-        # kernel workers (one per task slot) — default-sized GC pools
-        # fight them for CPU and cost ~18% extraction throughput at
-        # local[32] (measured: 61-63s -> 50-53s on the 1M-turn bench
-        # corpus).  On a real cluster executors have few cores per JVM,
-        # where an 8-thread cap is at or above the default — a no-op.
-        .config("spark.driver.extraJavaOptions",
-                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
-        .config("spark.executor.extraJavaOptions",
-                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2")
+        # Python kernel workers are forked once and reused across tasks
+        # (Spark's default, pinned here because the scaling instrument
+        # depends on it: a fresh fork per task would charge interpreter
+        # startup to every task instead of once per slot).
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.driver.extraJavaOptions", gc_opts)
+        .config("spark.executor.extraJavaOptions", gc_opts)
     )
     if master.startswith("local"):
         # Local-mode shuffle never crosses a network: blocks go through

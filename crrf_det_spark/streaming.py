@@ -177,9 +177,11 @@ def first_seen_stream(
     representative is deterministic (the min-``id_col`` doc within the
     first micro-batch that carries the digest, matching the batch
     operator's min-id rule, instead of whichever task wins a race), and
-    the state store holds ONE BYTE per digest instead of the key row —
-    at 10^9 distinct documents that is the difference between a 1 GB
-    and a multi-10-GB state store per executor share.
+    the state store holds a one-byte VALUE per digest key instead of the
+    full key row ``dropDuplicates`` keeps (both store the 64-hex digest
+    key itself) — at 10^9 distinct documents that still halves-or-better
+    the per-executor state footprint, but plan capacity from the key
+    size, not the value size.
 
     State retention mirrors ``conversation_progress_stream``: default
     ``None`` keeps digests forever (eviction would re-admit duplicates);

@@ -11,7 +11,7 @@ from crrf_det_spark.ops import (
     exact_duplicates,
     fingerprint,
     language_id,
-    lsh_bucket_topk,
+    lsh_bucket_topk_oneshot,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -366,14 +366,14 @@ class TestSimilarity:
 
     def test_lsh_finds_top1(self, emb_df):
         q = list(emb_df.filter("vec_id=1").first().embedding)
-        got = lsh_bucket_topk(emb_df, q, k=2, num_planes=4).collect()
+        got = lsh_bucket_topk_oneshot(emb_df, q, k=2, num_planes=4).collect()
         assert got[0].vec_id == 1
 
     def test_ivf_finds_top1(self, emb_df):
-        from crrf_det_spark.ops.similarity import ivf_topk
+        from crrf_det_spark.ops.similarity import ivf_topk_oneshot
 
         q = list(emb_df.filter("vec_id=1").first().embedding)
-        got = ivf_topk(
+        got = ivf_topk_oneshot(
             emb_df, q, k=2, n_centroids=3, n_probe=2, sample_fraction=1.0
         ).collect()
         assert got[0].vec_id == 1
@@ -385,7 +385,7 @@ class TestSimilarity:
         # per-query-kernel variant returns, for several queries
         from crrf_det_spark.ops import (
             ivf_assign,
-            ivf_topk,
+            ivf_topk_oneshot,
             ivf_topk_indexed,
             ivf_train,
             ivf_write_index,
@@ -405,7 +405,7 @@ class TestSimilarity:
             q = rows[qi][1]
             one_shot = [
                 (r.vec_id, round(r.cosine, 9))
-                for r in ivf_topk(df, q, k=5, n_probe=2, **kw).collect()
+                for r in ivf_topk_oneshot(df, q, k=5, n_probe=2, **kw).collect()
             ]
             indexed = [
                 (r.vec_id, round(r.cosine, 9))

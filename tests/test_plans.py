@@ -163,7 +163,7 @@ def test_similarity_and_multimodal_kernels_are_spread(spark):
     # same invariant as the signature kernels: every mapInPandas input
     # carries an explicit repartition so a single-file parquet source
     # can't serialize the Python stage into one worker
-    from crrf_det_spark.ops import lsh_bucket_topk
+    from crrf_det_spark.ops import lsh_bucket_topk_oneshot
     from crrf_det_spark.ops.multimodal import extract_features
     from crrf_det_spark.ops.similarity import ivf_assign
 
@@ -180,7 +180,7 @@ def test_similarity_and_multimodal_kernels_are_spread(spark):
     )
     for name, df in (
         ("ivf_assign", ivf_assign(emb, cent)),
-        ("lsh_bucket_topk", lsh_bucket_topk(emb, q, k=2, num_planes=4)),
+        ("lsh_bucket_topk_oneshot", lsh_bucket_topk_oneshot(emb, q, k=2, num_planes=4)),
         ("extract_features", extract_features(media, fake=True)),
     ):
         plan = plan_of(df, mode="simple")
@@ -226,12 +226,12 @@ def test_lsh_indexed_query_prunes_partitions(spark, tmp_path):
     # family: the materialized index is partitioned by bucket; the probe
     # filter must prune directories before IO with no per-query
     # assignment kernel, and the indexed result must equal the one-shot
-    # lsh_bucket_topk on the same corpus/query
+    # lsh_bucket_topk_oneshot on the same corpus/query
     import numpy as np
 
     from crrf_det_spark.ops import (
         lsh_assign,
-        lsh_bucket_topk,
+        lsh_bucket_topk_oneshot,
         lsh_topk_indexed,
         lsh_write_index,
     )
@@ -251,7 +251,7 @@ def test_lsh_indexed_query_prunes_partitions(spark, tmp_path):
     )
     assert "bucket" in part_line and "IN" in part_line, part_line
     assert "MapInPandas" not in plan
-    one_shot = lsh_bucket_topk(df, rows[0][1], k=5, num_planes=4).collect()
+    one_shot = lsh_bucket_topk_oneshot(df, rows[0][1], k=5, num_planes=4).collect()
     assert q.collect() == one_shot
 
 
