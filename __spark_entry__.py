@@ -1067,6 +1067,104 @@ ORDER BY d.doc_id
 """
 
 
+# deterministic boilerplate footers appended per doc_id % 3 — BOTH sides
+# construct the same repeated-footer corpus from the documents table, so
+# the span-dedup pipeline is exercised on the granularity it exists for
+# (distinct bodies sharing byte-identical footer paragraphs) while
+# staying fully SQL-reproducible.
+_SPAN_FOOTERS = [
+    "standard footer alpha all rights reserved boilerplate notice",
+    "standard footer beta subscribe newsletter boilerplate notice",
+    "standard footer gamma cookie consent boilerplate notice",
+]
+
+
+def _q_dedup_spans(spark, sf):
+    # span-level (paragraph-granularity) dedup — the operator doc-level
+    # dedup misses: repeated boilerplate SPANS inside otherwise-distinct
+    # documents.  Pipeline: paragraph split -> digest-collapse identical
+    # spans (star edges, no quadratic band join on hot footer groups) ->
+    # minhash-LSH + exact unigram-Jaccard >= 0.8 between distinct-span
+    # reps -> star-contraction components.  Output: every duplicate span
+    # with its canonical (min-uid) representative occurrence.
+    #
+    # Footers go to doc_id % 30 in {0,1,2} (clique size n/30, not n/3):
+    # the SPARK side is clique-size-indifferent (identical spans collapse
+    # to star edges before any join), but the ORACLE's recursive closure
+    # joins reach x clique-degree = O(size^3) per clique, which must stay
+    # tractable at every sf the contract is checked at.
+    from crrf_det_spark.ops.spans import dedup_spans
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id") % 30
+    footer = F.element_at(
+        F.array(*[F.lit(x) for x in _SPAN_FOOTERS]), (k + 1).cast("int")
+    )
+    docs2 = d.select(
+        "doc_id",
+        F.when(k < 3, F.concat("text", F.lit("\n\n"), footer))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_spans(docs2, threshold=0.8).orderBy("doc_id", "span_idx")
+
+
+# full independent recomputation: same footer construction, paragraph
+# split with ordinal span ids, packed uid = doc_id*2^20 + span_idx, exact
+# unigram Jaccard >= 0.8 over ALL span pairs (identical spans trivially
+# included at jaccard 1.0 — the all-pairs join is the oracle's sf0.01
+# luxury; the Spark side must reach the same components through digest
+# collapse + banding), then recursive-CTE transitive closure.
+_O_DEDUP_SPANS = """
+WITH RECURSIVE footers AS (
+  SELECT * FROM (VALUES
+    (0, 'standard footer alpha all rights reserved boilerplate notice'),
+    (1, 'standard footer beta subscribe newsletter boilerplate notice'),
+    (2, 'standard footer gamma cookie consent boilerplate notice')
+  ) f(k, footer)
+), docs2 AS (
+  SELECT d.doc_id,
+         d.text || COALESCE(chr(10) || chr(10) || f.footer, '') AS text
+  FROM documents d LEFT JOIN footers f ON d.doc_id % 30 = f.k
+), spans AS (
+  SELECT doc_id,
+         generate_subscripts(parts, 1) - 1 AS span_idx,
+         unnest(parts) AS span_text
+  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+        FROM docs2)
+), keyed AS (
+  SELECT doc_id * 1048576 + span_idx AS uid, doc_id, span_idx, span_text
+  FROM spans WHERE length(span_text) >= 1
+), sets AS (
+  SELECT uid,
+         list_distinct(list_filter(string_split_regex(span_text, '\\s+'),
+                                   t -> t <> '')) AS s
+  FROM keyed
+), posting AS (
+  SELECT uid, len(s) AS ns, unnest(s) AS tok FROM sets
+), inter AS (
+  SELECT l.uid AS a, r.uid AS b, l.ns AS na, r.ns AS nb,
+         count(*) AS n_common
+  FROM posting l JOIN posting r ON l.tok = r.tok AND l.uid < r.uid
+  GROUP BY 1, 2, 3, 4
+), edges AS (
+  SELECT a, b FROM inter WHERE n_common / (na + nb - n_common) >= 0.8
+), sym AS (
+  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+), reach(n, m) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), comp AS (
+  SELECT n AS uid, min(m) AS c FROM reach GROUP BY n
+)
+SELECT k.doc_id, k.span_idx,
+       c // 1048576 AS rep_doc_id, c % 1048576 AS rep_span_idx
+FROM comp JOIN keyed k USING (uid)
+ORDER BY k.doc_id, k.span_idx
+"""
+
+
 def _q_ann_topk(spark, sf):
     # brute-force cosine top-k against a fixed deterministic query vector
     from crrf_det_spark.ops import brute_force_topk
@@ -1881,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard3": _q_dedup_jaccard3,
         "dedup_components": _q_dedup_components,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_spans": _q_dedup_spans,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -1936,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard3": _O_DEDUP_JACCARD3,
         "dedup_components": _O_DEDUP_COMPONENTS,
         "dedup_corpus": _O_DEDUP_CORPUS,
+        "dedup_spans": _O_DEDUP_SPANS,
         "ann_topk": _O_ANN,
         # ann_ivf's probe set provably covers the exact top-k on this
         # corpus, so the brute-force cosine oracle applies verbatim

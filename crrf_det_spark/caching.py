@@ -30,6 +30,12 @@ def register(df: DataFrame, *cached: DataFrame) -> DataFrame:
     return df
 
 
+def registered(df: DataFrame) -> list[DataFrame]:
+    """The intermediates registered on ``df`` (for operators that compose
+    another operator's result and must carry its caches forward)."""
+    return list(getattr(df, _ATTR, []))
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Persist + compute ``df`` once, then drop its registered upstream
     caches (they were only needed while the plan could still re-run)."""

@@ -40,6 +40,12 @@ from .curate import (  # noqa: F401
     curation_report,
     normalized_digest,
 )
+from .spans import (  # noqa: F401
+    paragraph_spans,
+    span_duplicate_edges,
+    dedup_spans,
+    strip_repeated_spans,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,

@@ -1,0 +1,254 @@
+"""Span-level (paragraph-granularity) deduplication.
+
+Doc-level dedup (ops/dedup.py) misses boilerplate SPANS repeated across
+millions of otherwise-distinct documents — footers, cookie banners,
+license headers, navigation blurbs.  This module splits documents into
+spans, resolves exact + near-duplicate spans corpus-wide, and can strip
+every non-representative occurrence while leaving unique content alone.
+
+Not in the reference (its dedup story stops at file level,
+/root/reference/src/data/file.py); additive LLM-pipeline operator in the
+SURVEY.md §2 extension family, reusing the doc-level dedup machinery
+(minhash_near_pairs_verified, duplicate_components) over span keys.
+
+Scale notes (the design constraints, in order):
+
+* spans are keyed by a packed 64-bit uid ``doc_id * 2^span_bits +
+  span_idx`` — pure arithmetic both directions, so component labels
+  decode back to (doc_id, span_idx) without any join.  ``span_bits=20``
+  caps documents at ~1M spans; the packing is guarded by a runtime
+  raise_error (never silent corruption).  A corpus whose doc ids exceed
+  2^(63-span_bits) needs a surrogate key upstream — documented, not
+  handled here.
+* byte-identical spans are THE dominant boilerplate case (a footer
+  repeated across 10M pages is usually byte-identical), so they are
+  collapsed by sha256 digest FIRST: one hash agg in which only (uid,
+  digest) shuffles, star edges (rep, member) out — never a quadratic
+  band join on the hot footer groups.  Same defense as
+  minhash_lsh_pairs(collapse_identical=True).
+* only one representative per DISTINCT span enters minhash banding +
+  exact-Jaccard verification, so the near-dup stage's n is the distinct
+  span count, not the corpus span count.
+* components via ops/components.py alternating star-contraction
+  (O(log n) rounds, edge set never grows, lineage cut per round).
+* nothing persists span TEXT: the digest table persists (uid, digest)
+  only, and representative text is re-derived by one extra corpus scan
+  (split+posexplode is a cheap narrow op; a production pipeline would
+  materialize the span table once instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..caching import register, registered, release
+from .components import duplicate_components
+from .dedup import minhash_near_pairs_verified
+
+SPAN_BITS = 20
+
+
+def paragraph_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = r"\n\n+",
+    min_chars: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, span_idx, span_text): split each document into spans on
+    ``delim`` (a Java regex; default = blank-line paragraph breaks).
+
+    ``span_idx`` is the span's position in the ORIGINAL split (indices
+    are stable under the ``min_chars`` filter, so a stripped corpus can
+    be reassembled in order).  Pure Catalyst: split + posexplode +
+    filter, no Python."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias(
+                "span_idx", "span_text"
+            ),
+        )
+        .filter(F.length("span_text") >= min_chars)
+    )
+
+
+def span_uid(
+    doc_id: Column, span_idx: Column, span_bits: int = SPAN_BITS
+) -> Column:
+    """Packed 64-bit span key ``doc_id * 2^span_bits + span_idx``.
+
+    Guarded: a span_idx at/over the cap or a negative doc_id raises at
+    execution time (raise_error is part of the value expression, so
+    Catalyst cannot prune the check away)."""
+    cap = 1 << span_bits
+    ok = (span_idx < cap) & (span_idx >= 0) & (doc_id >= 0)
+    return F.when(
+        ok, doc_id * F.lit(cap) + span_idx
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"span_uid: span_idx >= 2^{span_bits} or negative id "
+                    "(use a surrogate doc key or raise span_bits): "
+                ),
+                doc_id.cast("string"),
+                F.lit(":"),
+                span_idx.cast("string"),
+            )
+        ).cast("long")
+    )
+
+
+def span_duplicate_edges(
+    spans: DataFrame,
+    num_hashes: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    span_bits: int = SPAN_BITS,
+) -> DataFrame:
+    """Duplicate-span edge list (doc_a, doc_b) in span-uid space.
+
+    Two edge families, union'd:
+    * star edges (rep_uid, member_uid) linking byte-identical spans to
+      the min-uid representative of their sha256 digest group;
+    * near edges between distinct-span representatives with exact
+      unigram Jaccard >= ``threshold`` (LSH candidates -> exact verify,
+      ops/dedup.py minhash_near_pairs_verified).
+
+    The union's connected components equal the components of the full
+    pairwise >=threshold graph: a member is byte-identical to its rep,
+    so any cross-pair (member, x) the full graph has is witnessed by
+    (rep, rep_of_x) here.  Feed to ``duplicate_components``.
+
+    Persisted intermediates are registered on the result
+    (caching.register) per repo convention."""
+    keyed = spans.select(
+        span_uid(
+            F.col("doc_id"), F.col("span_idx"), span_bits=span_bits
+        ).alias("uid"),
+        "span_text",
+    )
+    # (uid, digest) only — 96 bytes/span, never the text
+    dig = keyed.select(
+        "uid", F.sha2("span_text", 256).alias("digest")
+    ).persist()
+    groups = (
+        dig.groupBy("digest")
+        .agg(F.min("uid").alias("rep"), F.count("*").alias("n_members"))
+        .persist()
+    )
+    star = (
+        dig.join(groups.filter(F.col("n_members") >= 2), "digest")
+        .filter(F.col("uid") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("uid").alias("doc_b"))
+    )
+    reps = keyed.join(groups.select(F.col("rep").alias("uid")), "uid")
+    near = minhash_near_pairs_verified(
+        reps.select(
+            F.col("uid").alias("doc_id"), F.col("span_text").alias("text")
+        ),
+        num_hashes=num_hashes,
+        threshold=threshold,
+        seed=seed,
+    )
+    edges = star.unionByName(near.select("doc_a", "doc_b"))
+    return register(edges, dig, groups, *registered(near))
+
+
+def dedup_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = r"\n\n+",
+    min_chars: int = 1,
+    num_hashes: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    span_bits: int = SPAN_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve duplicate spans across the corpus.
+
+    Returns (doc_id, span_idx, rep_doc_id, rep_span_idx) for every span
+    that belongs to a duplicate component (exact OR unigram-Jaccard >=
+    ``threshold``); (rep_doc_id, rep_span_idx) is the component's
+    min-uid span, the canonical occurrence.  Spans in no component are
+    unique content and are not emitted.
+
+    ``duplicate_components`` materializes eagerly (localCheckpoint per
+    round), so the edge-stage caches are released before returning —
+    nothing stays persisted."""
+    spans = paragraph_spans(
+        docs, text_col=text_col, delim=delim, min_chars=min_chars,
+        id_col=id_col,
+    )
+    edges = span_duplicate_edges(
+        spans, num_hashes=num_hashes, threshold=threshold, seed=seed,
+        span_bits=span_bits,
+    )
+    comp = duplicate_components(edges)
+    release(edges)  # components are checkpointed; edge caches done
+    cap = 1 << span_bits
+    return comp.select(
+        F.shiftright("doc_id", span_bits).alias("doc_id"),
+        F.col("doc_id").bitwiseAND(F.lit(cap - 1)).alias("span_idx"),
+        F.shiftright("component", span_bits).alias("rep_doc_id"),
+        F.col("component").bitwiseAND(F.lit(cap - 1)).alias("rep_span_idx"),
+    )
+
+
+def strip_repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    delim: str = r"\n\n+",
+    join_delim: str = "\n\n",
+    min_chars: int = 1,
+    num_hashes: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    span_bits: int = SPAN_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The span-deduplicated corpus: every non-representative duplicate
+    span is removed; each duplicated span survives exactly once (in its
+    min-uid occurrence); unique spans pass through untouched.
+
+    Returns (doc_id, text) with spans rejoined by ``join_delim`` in
+    original order; a document whose every span was stripped comes back
+    with empty text (still one row per input document)."""
+    spans = paragraph_spans(
+        docs, text_col=text_col, delim=delim, min_chars=min_chars,
+        id_col=id_col,
+    )
+    edges = span_duplicate_edges(
+        spans, num_hashes=num_hashes, threshold=threshold, seed=seed,
+        span_bits=span_bits,
+    )
+    comp = duplicate_components(edges)
+    release(edges)
+    non_rep = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias("uid")
+    )
+    kept = spans.withColumn(
+        "uid", span_uid(F.col("doc_id"), F.col("span_idx"), span_bits)
+    ).join(non_rep, "uid", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("span_idx", "span_text"))
+                ),
+                lambda s: s["span_text"],
+            ),
+            join_delim,
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Span-level dedup (ops/spans.py): repeated-footer corpora.
+
+The scenario doc-level dedup misses: documents with DISTINCT bodies that
+share boilerplate footer paragraphs.  dedup_spans must cluster the
+footer occurrences (exact AND near-dup variants) without touching the
+unique bodies; strip_repeated_spans must keep exactly one occurrence.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from crrf_det_spark.ops.spans import (
+    dedup_spans,
+    paragraph_spans,
+    span_duplicate_edges,
+    span_uid,
+    strip_repeated_spans,
+)
+
+FOOTER_A = (
+    "all rights reserved contact the legal department for licensing terms"
+    " and conditions"
+)
+# near-dup of A: one word of 12 distinct changed -> jaccard 11/13 = 0.846
+FOOTER_A2 = (
+    "all rights reserved contact the legal division for licensing terms"
+    " and conditions"
+)
+FOOTER_B = "subscribe to our newsletter for weekly product updates"
+
+
+def _corpus(spark):
+    # bodies are pairwise-distinct word soup (jaccard far below 0.8)
+    rows = [
+        (0, f"alpha body zero unique words {FOOTER_A}"),
+        (1, f"beta body one different tokens entirely\n\n{FOOTER_A}"),
+        (2, f"gamma body two other phrasing again\n\n{FOOTER_A}"),
+        (3, f"delta body three more wording here\n\n{FOOTER_A2}"),
+        (4, f"epsilon body four something else\n\n{FOOTER_B}"),
+        (5, f"zeta body five final variant\n\n{FOOTER_B}"),
+        (6, "eta body six no footer at all"),
+    ]
+    # doc 0's footer is INSIDE the first paragraph (no blank line), so
+    # its text is a unique single span -- must not join the footer
+    # cluster (span granularity is the paragraph, not substring match)
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestParagraphSpans:
+    def test_split_and_stable_indices(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a\n\n\n\nb\n\nc"), (2, "solo")], ["doc_id", "text"]
+        )
+        got = {
+            (r.doc_id, r.span_idx): r.span_text
+            for r in paragraph_spans(d).collect()
+        }
+        # \n\n+ collapses the double blank line: spans a,b,c at 0,1,2
+        assert got == {(1, 0): "a", (1, 1): "b", (1, 2): "c", (2, 0): "solo"}
+
+    def test_min_chars_keeps_original_indices(self, spark):
+        d = spark.createDataFrame([(1, "long paragraph\n\nxx\n\nanother")],
+                                  ["doc_id", "text"])
+        idx = sorted(
+            r.span_idx
+            for r in paragraph_spans(d, min_chars=3).collect()
+        )
+        assert idx == [0, 2]  # filtered span keeps its slot
+
+
+class TestSpanUid:
+    def test_roundtrip(self, spark):
+        d = spark.createDataFrame([(7, 5)], ["d", "i"])
+        row = d.select(
+            span_uid(F.col("d"), F.col("i")).alias("uid")
+        ).collect()[0]
+        assert row.uid == 7 * (1 << 20) + 5
+
+    def test_cap_raises(self, spark):
+        d = spark.createDataFrame([(1, 4)], ["d", "i"])
+        with pytest.raises(Exception, match="span_uid"):
+            d.select(
+                span_uid(F.col("d"), F.col("i"), span_bits=2).alias("uid")
+            ).collect()
+
+
+class TestDedupSpans:
+    def test_footer_clusters(self, spark):
+        out = dedup_spans(_corpus(spark)).collect()
+        comp = {(r.doc_id, r.span_idx): (r.rep_doc_id, r.rep_span_idx)
+                for r in out}
+        # footer-A cluster: docs 1,2 exact + doc 3 near-dup (jaccard 0.8);
+        # representative = doc 1 span 1 (min uid)
+        assert comp[(1, 1)] == (1, 1)
+        assert comp[(2, 1)] == (1, 1)
+        assert comp[(3, 1)] == (1, 1)
+        # footer-B cluster, rep = doc 4 span 1
+        assert comp[(4, 1)] == (4, 1)
+        assert comp[(5, 1)] == (4, 1)
+        # bodies and the footer-substring doc are unique -> absent
+        assert set(comp) == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)}
+
+    def test_no_duplicates_empty(self, spark):
+        d = spark.createDataFrame(
+            [(1, "one unique\n\ntwo unique"), (2, "three unique")],
+            ["doc_id", "text"],
+        )
+        assert dedup_spans(d).count() == 0
+
+    def test_edge_stage_caches_released(self, spark):
+        # repo invariant: operators register persisted intermediates on
+        # their result and release() leaves nothing cached.  (The
+        # components stage's localCheckpoint RDDs are excluded: they ARE
+        # the result's storage, reclaimed by the ContextCleaner when the
+        # result is dropped, so counting them here would be flaky.)
+        from crrf_det_spark.caching import release, registered
+
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        edges = span_duplicate_edges(paragraph_spans(_corpus(spark)))
+        assert len(registered(edges)) == 3  # digests, groups, signatures
+        edges.count()
+        release(edges)
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # <= not ==: earlier tests' checkpoint RDDs may be reclaimed by
+        # the async ContextCleaner between the two reads
+        assert after <= before
+
+
+class TestStripRepeatedSpans:
+    def test_keep_one_occurrence(self, spark):
+        out = {r.doc_id: r.text
+               for r in strip_repeated_spans(_corpus(spark)).collect()}
+        # every doc still present
+        assert set(out) == set(range(7))
+        # footer A survives only in doc 1 (its rep slot); near-dup
+        # variant in doc 3 is stripped too
+        assert sum(FOOTER_A in t for t in out.values()) == 2  # doc0 inline + doc1
+        assert FOOTER_A in out[0]  # inline substring span untouched
+        assert out[1].endswith(FOOTER_A)
+        assert FOOTER_A not in out[2]
+        assert FOOTER_A2 not in out[3]
+        # footer B survives only in doc 4
+        assert out[4].endswith(FOOTER_B)
+        assert FOOTER_B not in out[5]
+        # bodies untouched, order preserved
+        assert out[2].startswith("gamma body two")
+        assert out[6] == "eta body six no footer at all"
+
+    def test_fully_stripped_doc_is_empty_not_missing(self, spark):
+        d = spark.createDataFrame(
+            [(1, "same footer text here"), (2, "same footer text here")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.text for r in strip_repeated_spans(d).collect()}
+        assert out == {1: "same footer text here", 2: ""}
