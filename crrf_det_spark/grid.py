@@ -36,6 +36,9 @@ LINE_H = 3          # content height of one line in v-units
 MIN_COLUMN_SPACING = 3      # ref 15px  (pseg.py:233)
 MIN_COLUMN_WIDTH = 20       # ref 100px (pseg.py:234)
 COLUMN_BLANK_FRACTION = 0.95  # ref hough line_length=0.95*height (pseg.py:240)
+REF_MIN_COLUMN_SPACING_PX = 15   # pseg.py:233, used verbatim in px mode
+REF_MIN_COLUMN_WIDTH_PX = 100    # pseg.py:234
+CHAR_W_PX = 5.0                  # documented transcription scale (px/char)
 
 # row_groups_from_columns (pseg.py:389-609), v-units (~2.7px each)
 MIN_SPACING_HARD_SPLIT = 9   # ref 25px  (pseg.py:419)
@@ -49,6 +52,22 @@ TITLE_MIN_HEIGHT = 4         # ref 10px  (pseg.py:416)
 # BLUR_SIGMA=4 paragraph connector (pseg.py:183): adjacent lines "touch",
 # anything across a blank line does not.
 MIN_BLOCK_SPLIT = 5
+
+# Reference pixel thresholds, used VERBATIM when the caller supplies true
+# per-line pixel geometry (row_groups_from_column line_px / parse_grid
+# line_geometry): a PDF-path caller (pdfmini y-coordinates) or a fixture
+# transcriber knows each line's real ink extent, so the sweep can run the
+# reference's own pixel rules (pseg.py:415-423) instead of the quantized
+# v-unit ports above — sub-char leading stops being information loss.
+REF_TITLE_MIN_SPACING_PX = 9
+REF_TITLE_MIN_HEIGHT_PX = 10
+REF_MIN_SPACING_SOFT_SPLIT_PX = 10
+REF_MIN_SPACING_HARD_SPLIT_PX = 25
+REF_MIN_SINGLE_ROW_GROUP_HEIGHT_PX = 75
+REF_OUTER_MERGE_MIN_SPACING_PX = 5   # pseg.py:508
+REF_COMPACT_MIN_SPACING_PX = 2       # pseg.py:520
+PX_PER_VUNIT = 2.7                   # documented transcription scale
+REF_LINE_PITCH_PX = V_UNIT * PX_PER_VUNIT  # ~10.8 px per text line
 
 # row_hspacings_from_row_groups (pseg.py:612-704)
 MIN_SPACING_SPAN = 2        # ref 5px (pseg.py:641): 1-char gaps are content
@@ -161,7 +180,161 @@ def occupancy_from_text(text: str) -> tuple[np.ndarray, list[str]]:
 # stage 1: column detection (analogue of columns_from_image, pseg.py:209-371)
 # ---------------------------------------------------------------------------
 
-def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]]]:
+def _column_heuristics(
+    columns: list[list[int]],
+    spacings: list[list[int]],
+    width: float,
+    min_spacing: float,
+    min_width: float,
+    portrait: bool = True,
+) -> tuple[list[list[int]], list[list[int]]]:
+    """The reference's column post-processing chain (pseg.py:262-369),
+    unit-agnostic: chars with char constants on the quantized path, pixels
+    with the reference's own constants when true geometry is supplied."""
+    if not columns:
+        return [], spacings
+
+    # early single-column pass for busy portrait pages (pseg.py:263-272)
+    spacing_widths = [s[1] - s[0] for s in spacings]
+    large_spacing_count = sum(
+        1 for w in spacing_widths[1:-1] if w > min_spacing
+    )
+    if portrait and large_spacing_count >= 3 and len(spacing_widths) >= 6:
+        sl, sr = spacings[0], spacings[-1]
+        return [[sl[1], sr[0]]], [sl, sr]
+
+    # merge columns with very narrow spacing (pseg.py:275-287)
+    merged: list[list[int]] = []
+    for col in columns:
+        if merged and col[0] - merged[-1][1] < min_spacing:
+            merged[-1] = [merged[-1][0], col[1]]
+        else:
+            merged.append(list(col))
+    columns = merged
+    # eliminate narrow interior spacings (pseg.py:289)
+    spacings = [
+        s
+        for i, s in enumerate(spacings)
+        if (s[1] - s[0]) >= min_spacing or i == 0 or i == len(spacings) - 1
+    ]
+
+    if len(columns) > 3:
+        # too many columns: either a two-column layout with wide table
+        # spacings, or a single big table (pseg.py:291-349)
+        middle_idx = -1
+        for middle in (
+            width / 2,
+            spacings[-1][1] / 2,
+            spacings[-1][0] / 2,
+            (spacings[-1][0] + spacings[-1][1]) / 4,
+            spacings[0][1] + width / 2,
+        ):
+            for spc_idx, s in enumerate(spacings):
+                if s[1] >= middle and s[0] <= middle:
+                    middle_idx = spc_idx
+                    break
+            if middle_idx != -1:
+                break
+        if middle_idx != -1 and spacings[middle_idx][1] > spacings[middle_idx][0]:
+            if spacings[0][1] > width / 5:
+                # unconventional layout (huge first spacing): merge away
+                # only the ROGUE spacings — interior spacings wider than
+                # the middle one — and keep the rest of the multi-column
+                # structure (pseg.py:311-335)
+                mid_w = spacings[middle_idx][1] - spacings[middle_idx][0]
+                rogue = [
+                    s
+                    for i, s in enumerate(spacings[1:-1], start=1)
+                    if i != middle_idx and s[1] - s[0] > mid_w
+                ]
+                for s in rogue:
+                    ends = [c[1] for c in columns]
+                    begins = [c[0] for c in columns]
+                    if s[0] in ends and s[1] in begins:
+                        ri = ends.index(s[0])
+                        li = begins.index(s[1])
+                        columns[ri][1] = columns[li][1]
+                        del columns[li]
+                        spacings.remove(s)
+            else:
+                # conventional two-column collapse (pseg.py:336-339)
+                s0, sm, s1 = spacings[0], spacings[middle_idx], spacings[-1]
+                columns = [[s0[1], sm[0]], [sm[1], s1[0]]]
+                spacings = [s0, sm, s1]
+        elif len(spacings) >= 2:
+            # heuristic #2: likely one big table -> single column
+            # (pseg.py:341-349)
+            sl, sr = spacings[0], spacings[-1]
+            columns = [[sl[1], sr[0]]]
+            spacings = [sl, sr]
+
+    # narrow column => whole page is a single table (pseg.py:351-369)
+    spacing_widths = [s[1] - s[0] for s in spacings]
+    if spacing_widths and max(spacing_widths) < width / 4 and len(columns) > 1:
+        narrow = any(
+            (col[1] - col[0]) < min_width for col in columns[1:]
+        )
+        if narrow:
+            sl, sr = spacings[0], spacings[-1]
+            columns = [[sl[1], sr[0]]]
+            spacings = [sl, sr]
+
+    return columns, spacings
+
+
+def _columns_from_hough_px(hough_px: dict) -> tuple[list, list]:
+    """Column detection in PIXEL space from true Hough verdicts.
+
+    ``hough_px``: {"runs": [[x0, x1), ...] maximal runs of pixel columns
+    carrying a >= 0.95-page-height contiguous blank vertical,
+    "width_px": page width, "height_px": page height, "char_w": px/char
+    (default 5.0)}.  Mirrors the reference's line->spacing->column
+    construction (pseg.py:241-259: spacings span first..last line x
+    INCLUSIVE, columns span between them sharing endpoints) and runs the
+    shared heuristics with the reference's pixel constants, then converts
+    to char ranges."""
+    width = hough_px["width_px"]
+    portrait = hough_px.get("height_px", width + 1) > width
+    char_w = hough_px.get("char_w", CHAR_W_PX)
+    spacings: list[list[int]] = []
+    columns: list[list[int]] = []
+    prev_end = 0  # ref: spacing = [0, 0] seed
+    for a, b in sorted(hough_px["runs"]):
+        last_x = b - 1  # runs are half-open; ref lines are inclusive xs
+        if a != prev_end:
+            # ref column = [prev_spacing_last_x, first_x] — endpoints
+            # shared with the gutters (pseg.py:253)
+            columns.append([prev_end, a])
+        if last_x != a:
+            # 1px-wide gutters split columns but are dropped from the
+            # spacings list (ref appends only when spacing[0] !=
+            # spacing[1], pseg.py:256)
+            spacings.append([a, last_x])
+        prev_end = last_x
+    # ref emits no trailing column: the 3.5% side clearing guarantees the
+    # rightmost qualifying run IS the right margin
+    if spacings and spacings[0][0] != 0:
+        spacings.insert(0, [0, 0])
+    if not spacings:
+        spacings = [[0, 0], [width, width]]
+    columns, spacings = _column_heuristics(
+        columns,
+        spacings,
+        width,
+        REF_MIN_COLUMN_SPACING_PX,
+        REF_MIN_COLUMN_WIDTH_PX,
+        portrait=portrait,
+    )
+    to_char = lambda v: int(round(v / char_w))  # noqa: E731
+    return (
+        [[to_char(l), to_char(r)] for l, r in columns],
+        [[to_char(l), to_char(r)] for l, r in spacings],
+    )
+
+
+def columns_from_grid(
+    grid: np.ndarray, hough_px: dict | None = None
+) -> tuple[list[list[int]], list[list[int]]]:
     """Detect page columns from near-full-height blank char-column runs.
 
     Returns (columns, spacings); both are ``[left, right)`` half-open char
@@ -175,7 +348,16 @@ def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]
     diverges on pages where a full-width title interrupts an otherwise
     blank gutter — verified against the reference's own golden pages in
     tests/test_reference_fixtures.py.)
+
+    ``hough_px`` (optional): a caller with sub-char x-geometry (PDF
+    coordinates, the fixture transcriber) passes the TRUE qualifying
+    pixel-column runs; the whole stage then runs in pixel space with the
+    reference's own constants (see _columns_from_hough_px) — spacing
+    widths stop being quantized to 5px multiples, which is what decides
+    the narrow-spacing merge and collapse gates on table-heavy pages.
     """
+    if hough_px is not None:
+        return _columns_from_hough_px(hough_px)
     n_lines, width = grid.shape
     # longest contiguous blank run per char column, fully vectorized (the
     # kernel runs per turn inside Arrow batches — a python loop over lines
@@ -214,76 +396,9 @@ def columns_from_grid(grid: np.ndarray) -> tuple[list[list[int]], list[list[int]
     if spacings[-1][1] != width:
         spacings.append([width, width])
 
-    if not columns:
-        return [], spacings
-
-    # early single-column pass for busy portrait pages (pseg.py:263-272)
-    spacing_widths = [s[1] - s[0] for s in spacings]
-    large_spacing_count = sum(
-        1 for w in spacing_widths[1:-1] if w > MIN_COLUMN_SPACING
+    return _column_heuristics(
+        columns, spacings, width, MIN_COLUMN_SPACING, MIN_COLUMN_WIDTH
     )
-    if large_spacing_count >= 3 and len(spacing_widths) >= 6:
-        sl, sr = spacings[0], spacings[-1]
-        return [[sl[1], sr[0]]], [sl, sr]
-
-    # merge columns with very narrow spacing (pseg.py:275-287)
-    merged: list[list[int]] = []
-    for col in columns:
-        if merged and col[0] - merged[-1][1] < MIN_COLUMN_SPACING:
-            merged[-1] = [merged[-1][0], col[1]]
-        else:
-            merged.append(list(col))
-    columns = merged
-    # eliminate narrow interior spacings (pseg.py:289)
-    spacings = [
-        s
-        for i, s in enumerate(spacings)
-        if (s[1] - s[0]) >= MIN_COLUMN_SPACING or i == 0 or i == len(spacings) - 1
-    ]
-
-    if len(columns) > 3:
-        # too many columns: either a two-column layout with wide table
-        # spacings, or a single big table (pseg.py:291-349)
-        middle_idx = -1
-        for middle in (
-            width / 2,
-            spacings[-1][1] / 2,
-            spacings[-1][0] / 2,
-            (spacings[-1][0] + spacings[-1][1]) / 4,
-            spacings[0][1] + width / 2,
-        ):
-            for spc_idx, s in enumerate(spacings):
-                if s[1] >= middle and s[0] <= middle:
-                    middle_idx = spc_idx
-                    break
-            if middle_idx != -1:
-                break
-        if middle_idx != -1 and spacings[middle_idx][1] > spacings[middle_idx][0]:
-            # two-column collapse (pseg.py:336-339, simplified: the rogue-
-            # spacing merge path reduces to the same two-column outcome on a
-            # char grid where gutters are exact)
-            s0, sm, s1 = spacings[0], spacings[middle_idx], spacings[-1]
-            columns = [[s0[1], sm[0]], [sm[1], s1[0]]]
-            spacings = [s0, sm, s1]
-        elif len(spacings) >= 2:
-            # heuristic #2: likely one big table -> single column
-            # (pseg.py:341-349)
-            sl, sr = spacings[0], spacings[-1]
-            columns = [[sl[1], sr[0]]]
-            spacings = [sl, sr]
-
-    # narrow column => whole page is a single table (pseg.py:351-369)
-    spacing_widths = [s[1] - s[0] for s in spacings]
-    if spacing_widths and max(spacing_widths) < width / 4 and len(columns) > 1:
-        narrow = any(
-            (col[1] - col[0]) < MIN_COLUMN_WIDTH for col in columns[1:]
-        )
-        if narrow:
-            sl, sr = spacings[0], spacings[-1]
-            columns = [[sl[1], sr[0]]]
-            spacings = [sl, sr]
-
-    return columns, spacings
 
 
 # ---------------------------------------------------------------------------
@@ -326,7 +441,9 @@ def _row_patterns(crop: np.ndarray) -> np.ndarray:
 
 
 def row_groups_from_column(
-    grid: np.ndarray, column: list[int]
+    grid: np.ndarray,
+    column: list[int],
+    line_px: dict[int, tuple[float, float]] | None = None,
 ) -> tuple[list[list[list[int]]], np.ndarray]:
     """Rows (one per text line, in v-units) grouped by vertical spacing.
 
@@ -340,6 +457,17 @@ def row_groups_from_column(
     title split, and soft split on spacing > 1.75x the running average, plus
     the text-space block rule (MIN_BLOCK_SPLIT: a blank line always splits,
     the analogue of the blur-connector, pseg.py:183).
+
+    ``line_px`` (optional): true pixel ink extent ``{text_line: (y0, y1)}``
+    (half-open ``[y0, y1)``) for this column's lines, from a caller that
+    has sub-char geometry (PDF y-coordinates, the reference-fixture
+    transcriber).  When given, every spacing/height DECISION runs in pixel
+    space with the reference's own thresholds (pseg.py:415-423): the
+    text-space block rule is dropped (a blank line is just a wide gap
+    whose true size is now known) and the quantized v-unit thresholds are
+    replaced by the REF_*_PX constants.  Output rows stay in v-units.
+    Lines absent from ``line_px`` fall back to the documented scale
+    (REF_LINE_PITCH_PX per line, LINE_H*PX_PER_VUNIT content).
     """
     crop = grid[:, column[0]: column[1]]
     n_lines = crop.shape[0]
@@ -353,50 +481,85 @@ def row_groups_from_column(
     if not all_rows:
         return [], row_vspacings
 
+    if line_px is None:
+        # quantized v-unit measurement space (inclusive row ends)
+        meas = all_rows
+        th_hard = MIN_SPACING_HARD_SPLIT
+        th_soft = MIN_SPACING_SOFT_SPLIT
+        th_single = MIN_SINGLE_ROW_GROUP_HEIGHT
+        th_title_sp = TITLE_MIN_SPACING
+        th_title_h = TITLE_MIN_HEIGHT
+        th_outer_lo, th_outer_hi = 2, MIN_BLOCK_SPLIT
+        th_compact = 1
+        th_block = MIN_BLOCK_SPLIT
+    else:
+        # true pixel measurement space, reference thresholds verbatim.
+        # [y0, y1) half-open extents convert to the reference's inclusive
+        # row convention (rows[i] = [first_ink_row, last_ink_row]).
+        meas = []
+        for i in nonblank:
+            ext = line_px.get(int(i))
+            if ext is not None:
+                meas.append([float(ext[0]), float(ext[1]) - 1.0])
+            else:
+                y0 = float(i) * REF_LINE_PITCH_PX
+                meas.append([y0, y0 + LINE_H * PX_PER_VUNIT - 1.0])
+        th_hard = REF_MIN_SPACING_HARD_SPLIT_PX
+        th_soft = REF_MIN_SPACING_SOFT_SPLIT_PX
+        th_single = REF_MIN_SINGLE_ROW_GROUP_HEIGHT_PX
+        th_title_sp = REF_TITLE_MIN_SPACING_PX
+        th_title_h = REF_TITLE_MIN_HEIGHT_PX
+        th_outer_lo, th_outer_hi = REF_OUTER_MERGE_MIN_SPACING_PX, None
+        th_compact = REF_COMPACT_MIN_SPACING_PX
+        th_block = None  # no text-space block rule: true gaps are known
+
     # the sweep runs bottom-up, so rows/groups are accumulated in
     # DESCENDING order with O(1) appends (cur[-1] = row processed last,
     # physically lowest-index-so-far) and reversed once at the end --
     # a front-insert here would make one big group O(n^2) and stall on
-    # degenerate 50k-line turns
-    groups_desc: list[list[list[int]]] = []
-    cur: list[list[int]] = []
-    rows_spacings = 0
-    last_spacing = 0
-    last_row_height = 0
+    # degenerate 50k-line turns.  Groups hold INDICES into all_rows while
+    # sweeping (decisions read the measurement space, output the v-rows).
+    groups_desc: list[list[int]] = []
+    cur: list[int] = []
+    rows_spacings = 0.0
+    last_spacing = 0.0
+    last_row_height = 0.0
     row_patterns = [False, False, False, False]
     for i in reversed(range(len(all_rows))):
-        r_start, r_end = all_rows[i]
         row_patterns[all_patterns[i]] = True
         if not cur:
-            cur.append([r_start, r_end])
-            last_spacing = 0
+            cur.append(i)
+            last_spacing = 0.0
         else:
-            spacing = cur[-1][0] - r_end
-            height = r_end - r_start
+            spacing = meas[cur[-1]][0] - meas[i][1]
+            height = meas[i][1] - meas[i][0]
+            prev0 = groups_desc[-1][-1] if groups_desc else None
             if (
                 # hierarchical outer-row merge (pseg.py:508-516, ref >=5px);
-                # gated below MIN_BLOCK_SPLIT so it never crosses a blank
-                # text line (which in text space is always a block boundary)
-                2 <= spacing < MIN_BLOCK_SPLIT
+                # in quantized mode gated below MIN_BLOCK_SPLIT so it never
+                # crosses a blank text line (always a block boundary there);
+                # the reference has no upper bound, so px mode has none
+                spacing >= th_outer_lo
+                and (th_outer_hi is None or spacing < th_outer_hi)
                 and spacing >= last_spacing
                 and len(cur) == 1
                 and groups_desc
-                and groups_desc[-1][-1][1] - groups_desc[-1][-1][0]
-                < MIN_SINGLE_ROW_GROUP_HEIGHT
-                and last_row_height < MIN_SINGLE_ROW_GROUP_HEIGHT
+                and meas[prev0][1] - meas[prev0][0] < th_single
+                and last_row_height < th_single
             ):
                 # outer-level content row belongs to the group just formed
                 # (pseg.py:508-516)
                 groups_desc[-1].append(cur[-1])
-                rows_spacings = 0
+                rows_spacings = 0.0
                 cur = []
             elif (
-                spacing >= MIN_SPACING_HARD_SPLIT
-                or spacing >= MIN_BLOCK_SPLIT  # text-space block rule
+                spacing >= th_hard
+                # text-space block rule (quantized mode only)
+                or (th_block is not None and spacing >= th_block)
                 or (
                     len(cur) >= 1
-                    and cur[-1][1] - cur[-1][0] >= MIN_SINGLE_ROW_GROUP_HEIGHT
-                    and spacing > 1
+                    and meas[cur[-1]][1] - meas[cur[-1]][0] >= th_single
+                    and spacing > th_compact
                 )
                 or (
                     len(cur) >= 2
@@ -419,32 +582,33 @@ def row_groups_from_column(
                     len(cur) >= 2
                     and spacing
                     > rows_spacings / (len(cur) - 1) * MIN_SPACING_MULTIPLE
-                    and spacing > MIN_SPACING_SOFT_SPLIT
+                    and spacing > th_soft
                 )
                 or (
                     i == 0
                     and all_patterns[i] != 0
                     and (
-                        (height >= TITLE_MIN_HEIGHT and spacing >= TITLE_MIN_SPACING)
+                        (height >= th_title_h and spacing >= th_title_sp)
                         or height <= spacing
                     )
                 )
             ):
                 groups_desc.append(cur)
                 row_patterns = [False, False, False, False]
-                rows_spacings = 0
+                rows_spacings = 0.0
                 cur = []
             else:
                 rows_spacings += spacing
-            cur.append([r_start, r_end])
+            cur.append(i)
             last_spacing = spacing
-            last_row_height = r_end - r_start
+            last_row_height = meas[i][1] - meas[i][0]
     if cur:
         groups_desc.append(cur)
-    for g in groups_desc:
-        g.reverse()
     groups_desc.reverse()
-    return groups_desc, row_vspacings
+    return (
+        [[all_rows[j] for j in reversed(g)] for g in groups_desc],
+        row_vspacings,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1038,9 +1202,40 @@ def group_bboxes(
 # full per-turn parse (analogue of pseg.parse, pseg.py:17-111)
 # ---------------------------------------------------------------------------
 
-def parse_grid(grid: np.ndarray) -> dict:
-    """Run the full stage chain on an occupancy grid."""
-    columns, spacings = columns_from_grid(grid)
+def _line_px_for_column(
+    column: list[int], line_geometry: list[dict] | None
+) -> dict[int, tuple[float, float]] | None:
+    """Pick the geometry region with max char-range overlap for a detected
+    column and return its {text_line: (y0_px, y1_px)} map (keys may arrive
+    as strings from JSON manifests)."""
+    if not line_geometry:
+        return None
+    best, besto = None, 0
+    for region in line_geometry:
+        o = min(column[1], region["x1"]) - max(column[0], region["x0"])
+        if o > besto:
+            best, besto = region, o
+    if best is None:
+        return None
+    return {int(k): tuple(v) for k, v in best["lines"].items()}
+
+
+def parse_grid(
+    grid: np.ndarray,
+    line_geometry: list[dict] | None = None,
+    hough_px: dict | None = None,
+) -> dict:
+    """Run the full stage chain on an occupancy grid.
+
+    ``line_geometry`` / ``hough_px`` (optional): true sub-char geometry
+    from a caller that has it (PDF coordinates, the reference-fixture
+    transcriber).  line_geometry is a list of regions
+    ``{"x0": char, "x1": char, "lines": {line: [y0_px, y1_px]}}``; each
+    detected column uses the region with max x-overlap for the reference-
+    threshold pixel sweep (see row_groups_from_column).  hough_px feeds
+    the pixel-space column stage (see columns_from_grid).  Both default
+    to None = pure text-space quantized behavior."""
+    columns, spacings = columns_from_grid(grid, hough_px=hough_px)
     column_row_groups: dict[int, list] = {}
     column_row_vspacings: dict[int, np.ndarray] = {}
     column_row_grp_row_spacings: dict[int, dict[int, np.ndarray]] = {}
@@ -1048,7 +1243,9 @@ def parse_grid(grid: np.ndarray) -> dict:
     column_row_grp_cells: dict[int, dict] = {}
 
     for col_idx, column in enumerate(columns):
-        groups, vspac = row_groups_from_column(grid, column)
+        groups, vspac = row_groups_from_column(
+            grid, column, line_px=_line_px_for_column(column, line_geometry)
+        )
         column_row_groups[col_idx] = groups
         column_row_vspacings[col_idx] = vspac
         column_row_grp_row_spacings[col_idx] = {}

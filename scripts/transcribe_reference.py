@@ -267,6 +267,24 @@ def _gap_blank_lines(gap_px: float) -> int:
     return max(1, round((gap_px / PX_PER_VUNIT - 1) / 4))
 
 
+def _true_hough_runs(im_bin: np.ndarray) -> list[list[int]]:
+    """Maximal [x0, x1) runs of PIXEL columns that pass the reference's
+    vertical-line Hough test (pseg.py:240: a contiguous blank run >= 0.95
+    page height, line_length=int(0.95*h)).  Feeds grid.py
+    columns_from_grid(hough_px=...), which reruns the whole column stage
+    in pixel space with the reference's own constants."""
+    ink = im_bin == 0
+    h, w = ink.shape
+    blank = ~ink
+    # longest contiguous blank run per PIXEL column (cumsum trick,
+    # mirroring grid.py columns_from_grid)
+    s = np.cumsum(blank, axis=0, dtype=np.int32)
+    at_content = np.where(ink, s, 0)
+    last_zero = np.maximum.accumulate(at_content, axis=0)
+    best = (s - last_zero).max(axis=0)
+    return _runs(best >= int(0.95 * h))
+
+
 def transcribe(
     im_bin: np.ndarray, regions_px: list[list[int]], min_ink_px: int = 1
 ) -> tuple[str, list[list[dict]]]:
@@ -447,6 +465,28 @@ def process_page(page: str) -> dict:
     # ink runs, so the golden columns are the faithful banding regions
     text, region_bands = transcribe(im_bin, cols_px)
 
+    # true sub-char geometry side-channel (round-4): the transcriber KNOWS
+    # every band's real pixel extent and every pixel column's true Hough
+    # verdict; emit them so hinted engine runs (grid.py parse_grid
+    # line_geometry/hough_px) can apply the reference's own pixel
+    # thresholds instead of quantized analogues.
+    line_geometry = [
+        {
+            "x0": px_to_char(left),
+            "x1": px_to_char(right),
+            "lines": {
+                str(b["line"]): [b["y0_px"], b["y1_px"]] for b in bands
+            },
+        }
+        for (left, right), bands in zip(cols_px, region_bands)
+    ]
+    hough_px = {
+        "runs": _true_hough_runs(im_bin),
+        "width_px": int(im_bin.shape[1]),
+        "height_px": int(im_bin.shape[0]),
+        "char_w": CHAR_W,
+    }
+
     manifest: dict = {
         "page": page,
         "provenance": {
@@ -461,6 +501,8 @@ def process_page(page: str) -> dict:
         "spacings_char": [[px_to_char(a), px_to_char(b)] for a, b in spc_px],
         "columns_px": cols_px,
         "n_text_lines": text.count("\n") + 1,
+        "line_geometry": line_geometry,
+        "hough_px": hough_px,
     }
     if groups_px is not None:
         manifest["row_groups"] = [

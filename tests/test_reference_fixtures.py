@@ -133,6 +133,11 @@ R3_PAGES = [
     "tsla2021.2",
     "tsla2021.68",
     "tsla2021.73",
+    # round-4: the rogue-spacing branch (grid.py _column_heuristics,
+    # pseg.py:311-335, previously simplified away) resolves this page's
+    # column flip even in quantized mode — promoted out of
+    # QUANT_LIMIT_COLUMNS with full assertions
+    "x2021.27",
 ]
 
 R3_GROUP_PARTITIONS = {
@@ -173,6 +178,11 @@ R3_GROUP_PARTITIONS = {
     ("tsla2021.73", 1): (
         [1, 16, 8], [1, 8, 1, 5, 1, 1, 1, 1, 1, 5],
     ),  # refine
+    ("x2021.27", 0): ([4], [4]),
+    ("x2021.27", 1): ([7, 8, 13, 4], [7, 8, 13, 4]),
+    ("x2021.27", 2): ([1, 2, 3], [1, 2, 3]),
+    # airy right column: >=10px leading quantizes to blank lines
+    ("x2021.27", 3): ([1, 5, 5, 3], [1, 1, 2, 1, 1, 5, 1, 1, 1]),  # refine
 }
 
 # Nondegenerate (>=2x2) table grids, (ref, ours) sorted tuples of
@@ -191,14 +201,16 @@ R3_TABLES = {
     "tsla2021.73": ([(1, 5, 11)], [(1, 2, 6)]),
 }
 
-# 4 pages where 5px/char quantization flips a COLUMN-stage threshold
+# 3 pages where 5px/char quantization flips a COLUMN-stage threshold
 # decision; the engine output is pinned so any kernel change surfaces.
+# (Round 4: x2021.27 resolved by the rogue-spacing branch and moved to
+# R3_PAGES; ALL of these — and every pinned group divergence above —
+# resolve under true-geometry hints, see TestHintedParity below.)
 # Causes (verified against the binarized pixels, see git history):
-# * eog2021.68 / eog2021.9: table-heavy pages where uniform char fill
-#   creates spurious full-height gutters -> a third narrow column ->
-#   the (faithful, pseg.py:351-369) narrow-column single-table collapse.
-# * x2021.27: ref keeps a 3-char-wide column at [107,110]; in char
-#   space its gutters quantize under MIN_COLUMN_SPACING and merge.
+# * eog2021.68 / eog2021.9: table-heavy pages whose true sub-15px gutter
+#   widths decide the narrow-spacing merge; 5px cells quantize a 15px
+#   spacing to 3 chars (kept) where the reference merges it, cascading
+#   into a different collapse path.
 # * x2021.64: ref's max interior spacing 172px sits 3% under the
 #   width/4=177.75 collapse gate (-> single column); in char space the
 #   bottom-anchored footer makes the trailing spacing 55 chars >= 34.5
@@ -206,10 +218,6 @@ R3_TABLES = {
 QUANT_LIMIT_COLUMNS = {
     "eog2021.68": ([[7, 58], [63, 115]], [[6, 115]]),
     "eog2021.9": ([[6, 58], [63, 115]], [[6, 115]]),
-    "x2021.27": (
-        [[50, 60], [73, 103], [107, 110], [116, 138]],
-        [[50, 60], [72, 138]],
-    ),
     "x2021.64": ([[4, 138]], [[4, 71], [74, 83]]),
 }
 QUANT_LIMIT_PAGES = sorted(QUANT_LIMIT_COLUMNS)
@@ -437,3 +445,56 @@ def test_quant_limit_columns_pinned(manifest, results, page):
     )
     ours = [list(c) for c in results[page]["columns"]]
     assert ours == exp_ours, (page, ours)
+
+
+# ---------------------------------------------------------------------------
+# round-4: true-geometry hinted parity — EVERY divergence pinned above is
+# text-space quantization loss, not heuristic drift
+# ---------------------------------------------------------------------------
+#
+# The transcriber knows each text line's real pixel extent and each pixel
+# column's true Hough verdict; it emits both as a manifest side-channel
+# (line_geometry, hough_px).  parse_grid threads them into the kernel,
+# which then applies the REFERENCE'S OWN pixel thresholds (grid.py
+# REF_*_PX; pseg.py:233-234,415-423) instead of the quantized v-unit/char
+# ports — the same hook a PDF-path caller with true glyph coordinates
+# would use.  Under hints, all 30 reference golden pages reproduce the
+# reference's column sets and EXACT group partitions: the quantized
+# divergence tables above shrink to zero here.
+
+ALL_PAGES = PAGES + R3_PAGES + QUANT_LIMIT_PAGES
+
+
+@pytest.fixture(scope="module")
+def hinted_results(manifest):
+    out = {}
+    for page in ALL_PAGES:
+        with open(os.path.join(FIXTURE_DIR, page + ".txt")) as f:
+            text = f.read()
+        grid, _ = occupancy_from_text(text)
+        out[page] = parse_grid(
+            grid,
+            line_geometry=manifest[page]["line_geometry"],
+            hough_px=manifest[page]["hough_px"],
+        )
+    return out
+
+
+@pytest.mark.parametrize("page", sorted(ALL_PAGES))
+def test_hinted_columns_match_reference(manifest, hinted_results, page):
+    ref = manifest[page]["columns_char"]
+    ours = hinted_results[page]["columns"]
+    assert len(ours) == len(ref), (page, ref, ours)
+    for (rl, rr), (ol, orr) in zip(ref, ours):
+        assert abs(ol - rl) <= 2 and abs(orr - rr) <= 2, (page, ref, ours)
+
+
+@pytest.mark.parametrize("page", sorted(ALL_PAGES))
+def test_hinted_group_partitions_exact(manifest, hinted_results, page):
+    for cg in manifest[page].get("row_groups", []):
+        ci = cg["column"]
+        ref_sizes = [g["n_rows"] for g in cg["groups"]]
+        groups = hinted_results[page]["column_row_groups"]
+        assert ci < len(groups), (page, ci)
+        our_sizes = [len(rows) for rows in groups[ci]]
+        assert our_sizes == ref_sizes, (page, ci, ref_sizes, our_sizes)
