@@ -1115,7 +1115,7 @@ def _q_dedup_spans(spark, sf):
 # included at jaccard 1.0 — the all-pairs join is the oracle's sf0.01
 # luxury; the Spark side must reach the same components through digest
 # collapse + banding), then recursive-CTE transitive closure.
-_O_DEDUP_SPANS = """
+_CTE_SPANS = """
 WITH RECURSIVE footers AS (
   SELECT * FROM (VALUES
     (0, 'standard footer alpha all rights reserved boilerplate notice'),
@@ -1158,10 +1158,48 @@ WITH RECURSIVE footers AS (
 ), comp AS (
   SELECT n AS uid, min(m) AS c FROM reach GROUP BY n
 )
+"""
+
+_O_DEDUP_SPANS = _CTE_SPANS + """
 SELECT k.doc_id, k.span_idx,
        c // 1048576 AS rep_doc_id, c % 1048576 AS rep_span_idx
 FROM comp JOIN keyed k USING (uid)
 ORDER BY k.doc_id, k.span_idx
+"""
+
+
+def _q_dedup_spans_strip(spark, sf):
+    # the keep-one corpus surface of span dedup: every non-representative
+    # duplicate span removed, documents reassembled in original span
+    # order (fully-stripped docs come back with empty text, one row per
+    # input doc).  Same footer construction as dedup_spans.
+    from crrf_det_spark.ops.spans import strip_repeated_spans
+
+    d = _t(spark, sf, "documents")
+    k = F.col("doc_id") % 30
+    footer = F.element_at(
+        F.array(*[F.lit(x) for x in _SPAN_FOOTERS]), (k + 1).cast("int")
+    )
+    docs2 = d.select(
+        "doc_id",
+        F.when(k < 3, F.concat("text", F.lit("\n\n"), footer))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return strip_repeated_spans(docs2, threshold=0.8).orderBy("doc_id")
+
+
+_O_DEDUP_SPANS_STRIP = _CTE_SPANS + """
+SELECT d.doc_id,
+       COALESCE(string_agg(kept.span_text, chr(10) || chr(10)
+                           ORDER BY kept.span_idx), '') AS text
+FROM docs2 d
+LEFT JOIN (
+  SELECT k.* FROM keyed k LEFT JOIN comp c USING (uid)
+  WHERE c.uid IS NULL OR c.c = k.uid
+) kept ON d.doc_id = kept.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
 
 
@@ -1980,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_spans": _q_dedup_spans,
+        "dedup_spans_strip": _q_dedup_spans_strip,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -2036,6 +2075,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _O_DEDUP_COMPONENTS,
         "dedup_corpus": _O_DEDUP_CORPUS,
         "dedup_spans": _O_DEDUP_SPANS,
+        "dedup_spans_strip": _O_DEDUP_SPANS_STRIP,
         "ann_topk": _O_ANN,
         # ann_ivf's probe set provably covers the exact top-k on this
         # corpus, so the brute-force cosine oracle applies verbatim
