@@ -309,13 +309,21 @@ def _flow_segments(lines: list[str]) -> list[dict]:
     return segs
 
 
-def extract_turn(text: str) -> list[dict]:
+def extract_turn(
+    text: str, line_px: dict[int, list[float]] | None = None
+) -> list[dict]:
     """Full per-turn extraction -> ordered segment dicts.
 
     Segment: {type: 'text'|'table', content: str, rows: list[list[str]]|None,
     box: [ymin, xmin, ymax, xmax]} with cindex = list position (reading
     order, stable sort by (ymin, xmin) like the reference's
     box[0]*10000+box[1] key, /root/reference/src/t-pdf:30).
+
+    ``line_px`` (optional): true per-line pixel ink bands ``{line_index:
+    [y0_px, y1_px)}`` from a caller with sub-char geometry (a PDF payload
+    with glyph coordinates, pdfmini.pdf_text_lines_geometry); the kernel's
+    group sweep then runs the reference's own pixel thresholds (grid.py
+    row_groups_from_column) instead of the quantized text analogues.
 
     Degenerate-geometry guard: a turn whose occupancy grid would exceed
     ``grid.MAX_GRID_CELLS`` (multi-megabyte single lines, million-line
@@ -334,7 +342,12 @@ def extract_turn(text: str) -> list[dict]:
     tokens = tokenize_lines(lines)
     if not len(tokens):
         return []
-    results = G.parse_grid(occupancy)
+    geometry = None
+    if line_px:
+        geometry = [
+            {"x0": 0, "x1": occupancy.shape[1], "lines": line_px}
+        ]
+    results = G.parse_grid(occupancy, line_geometry=geometry)
     tables = collect_tables(results, tokens)
     texts = collect_text(results, tokens)
     segments = tables + texts
@@ -363,12 +376,15 @@ def extract_turn(text: str) -> list[dict]:
     return out
 
 
-def extract_turn_auto(text: str) -> list[dict]:
+def extract_turn_auto(
+    text: str, line_px: dict[int, list[float]] | None = None
+) -> list[dict]:
     """Payload-aware dispatch: HTML turns go through the DOM main-content
     extractor (structural boilerplate + link-density heuristics,
     htmlx.py); everything else through the text-grid kernel.  Both emit
     the same segment schema, so downstream cindex/ordering semantics are
-    identical.
+    identical.  ``line_px`` (true pixel line bands, see extract_turn)
+    applies to the grid path only.
 
     Mixed-prose guard: without a decisive document marker the dispatch
     heuristic can misfire on prose that quotes markup; in that ambiguous
@@ -381,7 +397,7 @@ def extract_turn_auto(text: str) -> list[dict]:
     text grid.  The double parse is paid only for marker-less
     HTML-looking turns."""
     if not text:
-        return extract_turn(text)
+        return extract_turn(text, line_px=line_px)
     from .htmlx import has_html_marker
 
     if has_html_marker(text):
@@ -396,14 +412,14 @@ def extract_turn_auto(text: str) -> list[dict]:
         # undercounts by one char per tag — immaterial at the 5% gate.)
         tag_chars = len(text) - len(stripped)
         if tag_chars * 20 < len(text):  # < 5% markup
-            return extract_turn(text)
+            return extract_turn(text, line_px=line_px)
         dom = html_segments(text)
         dom_chars = sum(len(s["content"]) for s in dom)
         visible_chars = len("".join(stripped.split()))
         if dom_chars * 2 >= visible_chars:
             return dom
-        return extract_turn(text)
-    return extract_turn(text)
+        return extract_turn(text, line_px=line_px)
+    return extract_turn(text, line_px=line_px)
 
 
 def extracted_text(segments: list[dict]) -> str:

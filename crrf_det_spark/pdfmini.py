@@ -430,31 +430,81 @@ def _show_text(
     return "".join(out)
 
 
-def _stream_lines(
+def _stream_lines_meta(
     data: bytes,
     fonts: dict[bytes, tuple[dict[int, str], int]] | None = None,
-) -> list[str]:
-    """Walk one content stream's text operators -> text lines.
+) -> tuple[list[str], list[tuple[float, float] | None]]:
+    """Walk one content stream's text operators -> (text lines, metas).
 
     String tokens are buffered RAW until their show operator arrives (the
     current font decides decoding, and ``'`` / ``"`` mean
     move-to-next-line-THEN-show); TJ arrays deliver several buffered
-    strings (the interleaved numbers are kerning and are ignored)."""
+    strings (the interleaved numbers are kerning and are ignored).
+
+    Vertical structure is preserved the way the reference — which
+    rasterizes and SEES the gap in pixels — would preserve it:
+
+    * an empty-show line slot (``() Tj`` between two moves, the shape
+      tool writers emit for blank source lines) yields a blank line;
+    * a downward move materially larger than the nominal leading (the
+      smallest downward step seen so far, > 1.5x) yields
+      ``round(step/leading) - 1`` blank lines (writers that skip blank
+      slots move 2x instead).
+
+    ``metas[i]`` is (baseline_ty_textspace, font_size) for line i, or
+    None for inserted blank lines / lines with no position info — the
+    geometry side-channel extract_turn threads into the kernel's true-
+    pixel thresholds."""
     lines: list[str] = []
+    metas: list[tuple[float, float] | None] = []
     cur: list[str] = []
     strings: list[bytes] = []
     nums: list[float] = []
     last_name: bytes | None = None
     font: tuple[dict[int, str], int] | None = None
+    ty: float | None = None   # current baseline y (text space, up)
+    size: float = 11.0        # current font size
+    leading: float | None = None  # TL / TD leading for T* ' "
+    unit: float | None = None     # nominal single-line downward step
+    shown = False             # a show op happened on the current line
 
     def newline():
-        nonlocal cur
-        if cur:
-            lines.append("".join(cur).rstrip())
-            cur = []
+        nonlocal cur, shown
+        text = "".join(cur).rstrip()
+        if text:
+            lines.append(text)
+            metas.append((ty, size) if ty is not None else None)
+        elif shown:
+            # an explicit empty line slot (blank source line)
+            lines.append("")
+            metas.append(None)
+        cur = []
+        shown = False
+
+    def vmove(dy: float | None, absolute_to: float | None = None):
+        """Flush the line, emit gap blank lines for multi-leading
+        downward moves, update ty."""
+        nonlocal ty, unit
+        newline()
+        if absolute_to is not None:
+            dy = (absolute_to - ty) if ty is not None else None
+            new_ty = absolute_to
+        else:
+            new_ty = (ty + dy) if (ty is not None and dy is not None) else None
+        if dy is not None and dy < 0:
+            step = -dy
+            if unit is not None and step > 1.5 * unit:
+                for _ in range(min(20, round(step / unit) - 1)):
+                    lines.append("")
+                    metas.append(None)
+            elif step >= 1 and (unit is None or step < unit):
+                unit = step
+        ty = new_ty
 
     def show():
+        nonlocal shown
         cur.extend(_show_text(s, font) for s in strings)
+        shown = True
 
     for m in _TOK_RE.finditer(data):
         if m.group("lit") is not None:
@@ -479,24 +529,60 @@ def _stream_lines(
         if op in (b"Tj", b"TJ"):
             show()
         elif op in (b"'", b'"'):
-            newline()
+            vmove(-leading if leading is not None else None)
             show()
         elif op == b"T*":
-            newline()
-        elif op == b"Tf" and fonts is not None and last_name is not None:
-            font = fonts.get(last_name)
+            vmove(-leading if leading is not None else None)
+        elif op == b"Tf" and last_name is not None:
+            if nums:
+                size = nums[-1] or size
+            if fonts is not None:
+                font = fonts.get(last_name)
+        elif op == b"TL" and nums:
+            leading = nums[-1]
         elif op in (b"Td", b"TD"):
+            if op == b"TD" and len(nums) >= 2:
+                leading = -nums[-1]
             # vertical move => new line; pure horizontal move keeps line
             if len(nums) >= 2 and nums[-1] != 0:
-                newline()
+                if ty is None:
+                    # first positioning: establish ty, no gap analysis
+                    newline()
+                    ty = nums[-1]
+                else:
+                    vmove(nums[-1])
             elif len(nums) >= 2 and abs(nums[-2]) > 0 and cur:
                 cur.append(" ")
-        elif op in (b"Tm", b"BT", b"ET"):
+        elif op == b"Tm":
+            if len(nums) >= 6:
+                if ty is None:
+                    newline()
+                    ty = nums[-1]
+                else:
+                    vmove(None, absolute_to=nums[-1])
+            else:
+                newline()
+        elif op in (b"BT", b"ET"):
+            # BT resets the text matrix: position unknown until set
             newline()
+            ty = None
         strings.clear()
         nums.clear()
     newline()
-    return [ln for ln in lines if ln.strip()]
+    # trim leading/trailing blank lines (keep interior structure)
+    lo, hi = 0, len(lines)
+    while lo < hi and not lines[lo].strip():
+        lo += 1
+    while hi > lo and not lines[hi - 1].strip():
+        hi -= 1
+    return lines[lo:hi], metas[lo:hi]
+
+
+def _stream_lines(
+    data: bytes,
+    fonts: dict[bytes, tuple[dict[int, str], int]] | None = None,
+) -> list[str]:
+    return _stream_lines_meta(data, fonts)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -548,10 +634,38 @@ def _page_content(objs: dict[int, bytes], page: bytes) -> list[bytes]:
     return out
 
 
-def _document_lines(payload: bytes) -> list[str] | None:
+_REF_RASTER_NARROW_PX = 400.0  # the reference rasterizes min(w,h) -> 400px
+                               # (docmt -P 400, /root/reference/src/tpdf/pseg.py:152)
+
+
+def _media_box(page: bytes) -> tuple[float, float]:
+    """Page (width, height) in points; US-Letter default when absent."""
+    m = re.search(
+        rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)",
+        page,
+    )
+    if not m:
+        return 612.0, 792.0
+    x0, y0, x1, y1 = (float(v) for v in m.groups())
+    return abs(x1 - x0) or 612.0, abs(y1 - y0) or 792.0
+
+
+def _document_lines_geometry(
+    payload: bytes,
+) -> tuple[list[str], dict[int, list[float]]] | None:
     """Object-table path: pages in catalog order, per-page font CMaps.
     None when the document structure is absent/unresolvable (raw-scan
-    fallback applies)."""
+    fallback applies).
+
+    Returns (lines, geometry): geometry maps a line index to its TRUE ink
+    band ``[y0_px, y1_px)`` at the reference's raster scale (narrow side
+    -> 400px), pages stacked by cumulative page height — the
+    ``line_px`` side-channel extract_turn threads into the kernel so the
+    group sweep runs the reference's own pixel thresholds instead of the
+    quantized text analogues.  Band = baseline - 0.75*size (cap height)
+    to baseline + 0.25*size (descender), the nominal Type1 metrics; only
+    RELATIVE gaps and heights reach the thresholds, so nominal metrics
+    suffice.  Lines with no position info are simply absent."""
     objs = _objects(payload)
     if not objs:
         return None
@@ -559,32 +673,53 @@ def _document_lines(payload: bytes) -> list[str] | None:
     if not order:
         return None
     out: list[str] = []
+    geom: dict[int, list[float]] = {}
     any_content = False
+    scale: float | None = None
+    offset_pt = 0.0
     for num in order:
         page = objs[num]
+        page_w, page_h = _media_box(page)
+        if scale is None:
+            scale = _REF_RASTER_NARROW_PX / min(page_w, page_h)
         fonts = _page_fonts(objs, page)
         streams = _page_content(objs, page)
         if streams:
             any_content = True
         lines: list[str] = []
+        metas: list[tuple[float, float] | None] = []
         for data in streams:
-            lines.extend(_stream_lines(data, fonts))
+            ls, ms = _stream_lines_meta(data, fonts)
+            lines.extend(ls)
+            metas.extend(ms)
         if lines and out:
             out.append("")
+        base = len(out)
         out.extend(lines)
-    return out if any_content else None
+        for i, meta in enumerate(metas):
+            if meta is None:
+                continue
+            ty, size = meta
+            top_pt = offset_pt + (page_h - ty) - 0.75 * size
+            geom[base + i] = [top_pt * scale, (top_pt + size) * scale]
+        offset_pt += page_h
+    return (out, geom) if any_content else None
 
 
-def pdf_text_lines(payload: bytes) -> list[str]:
-    """PDF payload -> text lines (empty when nothing parseable).
+def pdf_text_lines_geometry(
+    payload: bytes,
+) -> tuple[list[str], dict[int, list[float]] | None]:
+    """PDF payload -> (text lines, optional true line geometry).
 
     Pages (document path) / content streams (fallback) are separated by
     one blank line so the downstream grid kernel never merges blocks
     across page boundaries -- the text-space analogue of the reference's
-    per-page processing."""
+    per-page processing.  Geometry (see _document_lines_geometry) is
+    available only on the document path; the raw-scan fallback returns
+    None (no MediaBox to anchor a scale)."""
     if not payload or not payload.startswith(b"%PDF"):
-        return []
-    doc = _document_lines(payload)
+        return [], None
+    doc = _document_lines_geometry(payload)
     if doc is not None:
         return doc
     out: list[str] = []
@@ -593,7 +728,11 @@ def pdf_text_lines(payload: bytes) -> list[str]:
         if lines and out:
             out.append("")
         out.extend(lines)
-    return out
+    return out, None
+
+
+def pdf_text_lines(payload: bytes) -> list[str]:
+    return pdf_text_lines_geometry(payload)[0]
 
 
 def pdf_text(payload: bytes) -> str:
@@ -608,9 +747,15 @@ def looks_like_pdf(payload: bytes) -> bool:
 # tiny writers (tests / fixtures)
 # ---------------------------------------------------------------------------
 
-def make_pdf(lines: list[str], compress: bool = True) -> bytes:
+def make_pdf(
+    lines: list[str],
+    compress: bool = True,
+    leadings: dict[int, float] | None = None,
+) -> bytes:
     """Build a minimal single-page PDF showing ``lines`` -- the shape tool
-    output takes.  Used by tests; not a general-purpose writer."""
+    output takes.  Used by tests; not a general-purpose writer.
+    ``leadings[i]`` overrides the downward move before line i (default
+    14pt) — lets fixtures express true sub-line paragraph leading."""
 
     def esc(s: str) -> str:
         return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
@@ -618,7 +763,8 @@ def make_pdf(lines: list[str], compress: bool = True) -> bytes:
     ops = ["BT", "/F1 11 Tf", "72 760 Td"]
     for i, ln in enumerate(lines):
         if i:
-            ops.append("0 -14 Td")
+            dy = (leadings or {}).get(i, 14)
+            ops.append(f"0 -{dy:g} Td")
         ops.append(f"({esc(ln)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")

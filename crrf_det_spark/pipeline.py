@@ -116,8 +116,16 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         segments_c, etext_c, nseg_c, ntab_c, nin_c, nout_c = (
             [], [], [], [], [], [],
         )
-        for text in pdf["text"].values:
-            segs = extract_turn_auto(text if isinstance(text, str) else "")
+        # optional worker-local true-geometry column (payload path)
+        geoms = (
+            pdf["_line_px"].values
+            if "_line_px" in pdf.columns
+            else [None] * len(pdf)
+        )
+        for text, line_px in zip(pdf["text"].values, geoms):
+            segs = extract_turn_auto(
+                text if isinstance(text, str) else "", line_px=line_px
+            )
             segments_c.append(
                 [
                     {
@@ -197,20 +205,33 @@ def extract_payload_turns(
     attachments: PDF payloads go through the pure-stdlib text extractor
     (pdfmini) then the SAME grid kernel; utf-8 payloads dispatch through
     the HTML/text auto path.  Undecodable payloads yield zero segments
-    (n_chars_in still recorded)."""
-    from .pdfmini import looks_like_pdf, pdf_text
+    (n_chars_in still recorded).
+
+    PDF payloads carry TRUE line geometry (pdfmini tracks the text
+    matrix; pdf_text_lines_geometry converts baselines to the reference's
+    raster scale), so the grid kernel's group sweep runs the reference's
+    own pixel thresholds for them — sub-char leading decisions (split
+    vs same-paragraph) match what the reference sees in its rasterized
+    pixels instead of the quantized text analogue.  The geometry rides a
+    worker-local object column; it never crosses Arrow."""
+    from .pdfmini import looks_like_pdf, pdf_text_lines_geometry
 
     def batches(it):
         for pdf_batch in it:
             texts = []
+            geoms = []
             for payload in pdf_batch[payload_col].values:
                 if payload is None:
                     texts.append("")
+                    geoms.append(None)
                     continue
                 b = bytes(payload)
                 if looks_like_pdf(b):
-                    texts.append(pdf_text(b))
+                    lines, geom = pdf_text_lines_geometry(b)
+                    texts.append("\n".join(lines))
+                    geoms.append(geom)
                 else:
+                    geoms.append(None)
                     try:
                         texts.append(b.decode("utf-8"))
                     except UnicodeDecodeError:
@@ -222,6 +243,7 @@ def extract_payload_turns(
                     "text": texts,
                 }
             )
+            inner["_line_px"] = geoms
             yield from _extract_batches(iter([inner]))
 
     src = df.select("conv_id", "turn_idx", payload_col)

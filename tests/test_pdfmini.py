@@ -217,3 +217,64 @@ def test_tf_switches_decoding_per_font():
     ]
     payload = b"%PDF-1.4\n" + b"\n".join(objs) + b"\n%%EOF\n"
     assert pdf_text_lines(payload) == ["ABC", "plain latin"]
+
+
+def test_blank_line_slots_roundtrip():
+    # tool writers emit blank source lines as empty show slots; the
+    # reference SEES the resulting gap in its rasterized pixels, so the
+    # text path must preserve it as a blank line
+    from crrf_det_spark.pdfmini import make_pdf_cid
+
+    lines = ["para one a", "para one b", "", "para two after gap"]
+    assert pdf_text_lines(make_pdf(lines)) == lines
+    assert pdf_text_lines(make_pdf_cid(lines)) == lines
+
+
+def test_skipped_slot_big_leading_inserts_blank():
+    # writers that SKIP blank slots move 2x the leading instead — the
+    # gap heuristic restores one blank line per extra leading multiple
+    payload = make_pdf(["a", "b", "c"], leadings={2: 28})
+    assert pdf_text_lines(payload) == ["a", "b", "", "c"]
+
+
+def test_geometry_bands():
+    from crrf_det_spark.pdfmini import pdf_text_lines_geometry
+
+    lines, geom = pdf_text_lines_geometry(
+        make_pdf(["top line", "second", "", "after gap"])
+    )
+    assert lines == ["top line", "second", "", "after gap"]
+    # blank line has no band; content lines do
+    assert set(geom) == {0, 1, 3}
+    scale = 400.0 / 612.0
+    # consecutive 14pt baselines -> band gap (14-11)pt at raster scale
+    gap = geom[1][0] - geom[0][1]
+    assert abs(gap - 3 * scale) < 1e-6
+    # band height = font size at raster scale
+    assert abs((geom[0][1] - geom[0][0]) - 11 * scale) < 1e-6
+    # bands are monotonically increasing down the page
+    assert geom[0][1] <= geom[1][0] <= geom[3][0]
+
+
+def test_true_leading_decides_grouping():
+    """End-to-end value of the geometry side-channel: a 26pt paragraph
+    lead quantizes to a blank text line (block split) but its TRUE gap is
+    (26-11)pt*400/612 = 9.8px — under the reference's 10px soft-split
+    threshold, so the reference's rasterized pipeline would KEEP the
+    lines together.  The hinted kernel matches the reference; the
+    unhinted text path shows the quantized split."""
+    from crrf_det_spark.extract import extract_turn
+    from crrf_det_spark.pdfmini import pdf_text_lines_geometry
+
+    payload = make_pdf(
+        ["alpha beta gamma", "delta epsilon", "zeta eta theta"],
+        leadings={2: 26},
+    )
+    lines, geom = pdf_text_lines_geometry(payload)
+    text = "\n".join(lines)
+    assert lines[2] == ""  # quantized view: a blank line
+    quantized = extract_turn(text)
+    hinted = extract_turn(text, line_px=geom)
+    assert len(quantized) == 2  # blank line always splits in text space
+    assert len(hinted) == 1     # true 9.8px gap: same group, like the ref
+    assert hinted[0]["content"].count("zeta") == 1
