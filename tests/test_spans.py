@@ -153,3 +153,62 @@ class TestStripRepeatedSpans:
         )
         out = {r.doc_id: r.text for r in strip_repeated_spans(d).collect()}
         assert out == {1: "same footer text here", 2: ""}
+
+
+class TestSpansRandomizedOracle:
+    """Seeded random corpora vs a pure-Python exact oracle: all-pairs
+    distinct-word Jaccard >= threshold + union-find with min-key
+    representatives — the same cross-check style dedup_components gets
+    (tests/test_ops.py), now over span keys."""
+
+    def _oracle(self, docs, threshold=0.8):
+        spans = {}
+        for d, text in docs:
+            for i, s in enumerate(text.split("\n\n")):
+                if len(s) >= 1:
+                    spans[(d, i)] = set(s.split())
+        keys = sorted(spans)
+        parent = {k: k for k in keys}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                sa, sb = spans[a], spans[b]
+                if not sa or not sb:
+                    continue
+                inter = len(sa & sb)
+                if inter / (len(sa) + len(sb) - inter) >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {k: find(k) for k in keys}
+        sizes = {}
+        for r in comp.values():
+            sizes[r] = sizes.get(r, 0) + 1
+        return {k: r for k, r in comp.items() if sizes[r] >= 2}
+
+    @pytest.mark.parametrize("seed", [7, 23])
+    def test_components_match_unionfind_oracle(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = []
+        for d in range(14):
+            paras = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 8)))
+                for _ in range(rng.randint(1, 4))
+            ]
+            docs.append((d, "\n\n".join(paras)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_idx): (r.rep_doc_id, r.rep_span_idx)
+            for r in dedup_spans(df, threshold=0.8).collect()
+        }
+        assert got == self._oracle(docs)
