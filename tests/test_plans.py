@@ -150,10 +150,15 @@ def test_signature_kernels_are_spread(spark):
     # MapInPandas: a single-file parquet source otherwise serializes the
     # whole Python stage into one worker (measured 3.3s -> 0.4s on the
     # 5000-doc corpus when this was fixed)
-    from crrf_det_spark.ops import minhash_signatures, simhash_signatures
+    from crrf_det_spark.ops import (
+        minhash_signatures,
+        minhash_word_signatures,
+        simhash_signatures,
+    )
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    for op in (minhash_signatures, simhash_signatures):
+    for op in (minhash_signatures, minhash_word_signatures,
+               simhash_signatures):
         plan = plan_of(op(d), mode="simple")
         assert "REPARTITION_BY_NUM" in plan, op.__name__
         assert "MapInPandas" in plan, op.__name__
