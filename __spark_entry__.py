@@ -1092,21 +1092,28 @@ def _q_dedup_spans(spark, sf):
     # the SPARK side is clique-size-indifferent (identical spans collapse
     # to star edges before any join), but the ORACLE's recursive closure
     # joins reach x clique-degree = O(size^3) per clique, which must stay
-    # tractable at every sf the contract is checked at.
+    # tractable at every sf the contract is checked at.  The k=0 footer
+    # is attached with a TRIPLE newline to pin newline-run collapsing:
+    # both sides must split on the regex \n\n+ (a literal '\n\n' split
+    # would yield a leading-'\n' span and shifted span_idx).
     from crrf_det_spark.ops.spans import dedup_spans
 
     d = _t(spark, sf, "documents")
+    docs2 = d.select("doc_id", _span_footer_text())
+    return dedup_spans(docs2, threshold=0.8).orderBy("doc_id", "span_idx")
+
+
+def _span_footer_text():
     k = F.col("doc_id") % 30
     footer = F.element_at(
         F.array(*[F.lit(x) for x in _SPAN_FOOTERS]), (k + 1).cast("int")
     )
-    docs2 = d.select(
-        "doc_id",
-        F.when(k < 3, F.concat("text", F.lit("\n\n"), footer))
+    return (
+        F.when(k == 0, F.concat("text", F.lit("\n\n\n"), footer))
+        .when(k < 3, F.concat("text", F.lit("\n\n"), footer))
         .otherwise(F.col("text"))
-        .alias("text"),
+        .alias("text")
     )
-    return dedup_spans(docs2, threshold=0.8).orderBy("doc_id", "span_idx")
 
 
 # full independent recomputation: same footer construction, paragraph
@@ -1124,13 +1131,17 @@ WITH RECURSIVE footers AS (
   ) f(k, footer)
 ), docs2 AS (
   SELECT d.doc_id,
-         d.text || COALESCE(chr(10) || chr(10) || f.footer, '') AS text
+         d.text || COALESCE(CASE WHEN f.k = 0
+                                 THEN repeat(chr(10), 3)
+                                 ELSE repeat(chr(10), 2) END || f.footer,
+                            '') AS text
   FROM documents d LEFT JOIN footers f ON d.doc_id % 30 = f.k
 ), spans AS (
   SELECT doc_id,
          generate_subscripts(parts, 1) - 1 AS span_idx,
          unnest(parts) AS span_text
-  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS parts
+  FROM (SELECT doc_id,
+               string_split_regex(text, chr(10) || chr(10) || '+') AS parts
         FROM docs2)
 ), keyed AS (
   SELECT doc_id * 1048576 + span_idx AS uid, doc_id, span_idx, span_text
@@ -1139,7 +1150,7 @@ WITH RECURSIVE footers AS (
   SELECT uid,
          list_distinct(list_filter(string_split_regex(span_text, '\\s+'),
                                    t -> t <> '')) AS s
-  FROM keyed
+  FROM keyed WHERE trim(span_text) <> ''
 ), posting AS (
   SELECT uid, len(s) AS ns, unnest(s) AS tok FROM sets
 ), inter AS (
@@ -1176,16 +1187,7 @@ def _q_dedup_spans_strip(spark, sf):
     from crrf_det_spark.ops.spans import strip_repeated_spans
 
     d = _t(spark, sf, "documents")
-    k = F.col("doc_id") % 30
-    footer = F.element_at(
-        F.array(*[F.lit(x) for x in _SPAN_FOOTERS]), (k + 1).cast("int")
-    )
-    docs2 = d.select(
-        "doc_id",
-        F.when(k < 3, F.concat("text", F.lit("\n\n"), footer))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    docs2 = d.select("doc_id", _span_footer_text())
     return strip_repeated_spans(docs2, threshold=0.8).orderBy("doc_id")
 
 

@@ -124,7 +124,11 @@ def span_duplicate_edges(
 
     Persisted intermediates are registered on the result
     (caching.register) per repo convention."""
-    keyed = spans.select(
+    # spans whose token set is empty (whitespace-only) can never satisfy
+    # a Jaccard threshold — exclude them BEFORE digest grouping so exact
+    # and near dedup agree (mirrors the _MERSENNE sentinel filter in
+    # minhash_near_pairs_verified); they pass through as unique content.
+    keyed = spans.filter(F.trim("span_text") != "").select(
         span_uid(
             F.col("doc_id"), F.col("span_idx"), span_bits=span_bits
         ).alias("uid"),

@@ -107,6 +107,24 @@ class TestDedupSpans:
         )
         assert dedup_spans(d).count() == 0
 
+    def test_whitespace_spans_never_duplicates(self, spark):
+        # spans with an empty token set (whitespace-only, e.g. ' ') are
+        # excluded before digest grouping: exact dedup must agree with
+        # near dedup (Jaccard over empty sets is undefined / no posting
+        # rows in the contract oracle), so identical whitespace spans are
+        # treated as unique content — reported by neither dedup_spans nor
+        # stripped by strip_repeated_spans.
+        d = spark.createDataFrame(
+            [(1, "body one\n\n \n\ntail x"), (2, "body two\n\n \n\ntail y")],
+            ["doc_id", "text"],
+        )
+        assert dedup_spans(d).count() == 0
+        out = {r.doc_id: r.text for r in strip_repeated_spans(d).collect()}
+        assert out == {
+            1: "body one\n\n \n\ntail x",
+            2: "body two\n\n \n\ntail y",
+        }
+
     def test_edge_stage_caches_released(self, spark):
         # repo invariant: operators register persisted intermediates on
         # their result and release() leaves nothing cached.  (The
