@@ -368,9 +368,11 @@ def main() -> None:
     # 250k-turn prefix.  Both sizes sit inside the machine's linear-
     # scaling region (the round-2/3 2v8 pair swung 0.59-1.16 run-to-run
     # because the 2-core leg rides per-core turbo/steal on this VM; 4
-    # cores damps that, 16 stays below the bandwidth knee).  k=5
-    # alternating rounds by default: round-3's k=3 let one neighbor-load
-    # burst dominate a leg's min in an unattended driver run.
+    # cores damps that, 16 stays below the bandwidth knee).  k=7
+    # alternating rounds by default (round-3's k=3 let one neighbor-load
+    # burst dominate a leg's min; round-4's k=5 still recorded 0.788 in
+    # the driver window vs 0.943/0.835 unattended — on one-sided steal
+    # noise, min-of-k needs more draws to converge; round-4 VERDICT #1).
     # window B (saturation context): 8 vs 32 cores on the full corpus --
     # 32 threads on this box hit the memory-bandwidth ceiling (plain
     # multiprocessing of the same kernel shows the same ceiling, see
@@ -379,14 +381,20 @@ def main() -> None:
     # Each window interleaves an engine-free multiprocessing control on
     # the identical kernel/data at the same core counts: judge Spark's
     # efficiency against the box's own ceiling, not a theoretical 1.0.
-    k_linear = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS_LINEAR", "5"))
-    k_sat = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "3"))
+    k_linear = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS_LINEAR", "7"))
+    k_sat = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "5"))
     small_a, big_a = max(1, CPUS // 8), max(1, CPUS // 2)
     win_a = _scaling_window(
         transcripts_path, small_a, big_a, limit=250_000, k=k_linear
     )
+    # saturation window gets the same min-of-k hardening as the linear
+    # pair (round-4 VERDICT #1: its k=3 legs spread 61.6-134.6s, 2.2x)
+    # and a 2.5x-longer mp control leg: at 32 cores the 100k-row control
+    # finished in ~4s, small enough that Pool fixed overhead + one steal
+    # burst dominated the leg.
     win_b = _scaling_window(
-        transcripts_path, max(1, CPUS // 4), CPUS, limit=None, k=k_sat
+        transcripts_path, max(1, CPUS // 4), CPUS, limit=None, k=k_sat,
+        mp_rows=250_000,
     )
     pair_a, mp_ctl_a = win_a["spark"], win_a["mp_control"]
     pair_b, mp_ctl = win_b["spark"], win_b["mp_control"]

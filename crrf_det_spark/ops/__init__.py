@@ -42,8 +42,10 @@ from .curate import (  # noqa: F401
 )
 from .spans import (  # noqa: F401
     paragraph_spans,
+    line_shingles,
     span_duplicate_edges,
     dedup_spans,
+    dedup_shingles,
     strip_repeated_spans,
 )
 from .textstats import (  # noqa: F401

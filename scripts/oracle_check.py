@@ -13,6 +13,7 @@ Exit code 0 iff every oracle-paired query matches by value.
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -85,14 +86,20 @@ def main() -> int:
         if ONLY is not None and name not in ONLY:
             continue
         if name not in oracles:
+            t0 = time.time()
             n = fn(spark, SF_DIR).count()
-            print(f"{name}: rows-only ({n} rows)")
+            print(f"{name}: rows-only ({n} rows) [{time.time() - t0:.1f}s]")
             continue
-        err = compare(
-            canon(fn(spark, SF_DIR).toPandas()),
-            canon(con.execute(oracles[name]).df()),
+        t0 = time.time()
+        spark_df = canon(fn(spark, SF_DIR).toPandas())
+        t1 = time.time()
+        oracle_df = canon(con.execute(oracles[name]).df())
+        t2 = time.time()
+        err = compare(spark_df, oracle_df)
+        print(
+            f"{name}: {'OK' if err is None else 'FAIL — ' + err} "
+            f"[spark {t1 - t0:.1f}s, oracle {t2 - t1:.1f}s]"
         )
-        print(f"{name}: {'OK' if err is None else 'FAIL — ' + err}")
         failures += err is not None
     spark.stop()
     print(f"{failures} failures" if failures else "all value-checks OK")

@@ -10,7 +10,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from crrf_det_spark.ops.spans import (
+    dedup_shingles,
     dedup_spans,
+    line_shingles,
     paragraph_spans,
     span_duplicate_edges,
     span_uid,
@@ -171,6 +173,110 @@ class TestStripRepeatedSpans:
         )
         out = {r.doc_id: r.text for r in strip_repeated_spans(d).collect()}
         assert out == {1: "same footer text here", 2: ""}
+
+
+class TestLineShingles:
+    def test_windows_and_start_indices(self, spark):
+        d = spark.createDataFrame(
+            [(1, "a\nb\nc\nd"), (2, "x\ny"), (3, "p\nq\nr")],
+            ["doc_id", "text"],
+        )
+        got = {
+            (r.doc_id, r.span_idx): r.span_text
+            for r in line_shingles(d, k=3).collect()
+        }
+        # doc 2 has fewer than k lines -> no shingles (doc-level dedup's
+        # case, not this operator's)
+        assert got == {
+            (1, 0): "a\nb\nc",
+            (1, 1): "b\nc\nd",
+            (3, 0): "p\nq\nr",
+        }
+
+
+class TestDedupShingles:
+    def test_inline_footer_not_blank_line_delimited(self, spark):
+        # the gap this operator exists for: a 3-line boilerplate block
+        # spliced into flowed text with SINGLE newlines — dedup_spans
+        # (blank-line paragraphs) sees one big unique span per doc and
+        # finds nothing; dedup_shingles links the block occurrences.
+        footer = (
+            "legal notice governs this content\n"
+            "reproduction requires written permission\n"
+            "trademarks belong to their owners"
+        )
+        rows = [
+            (0, f"body zero opening words\n{footer}\nbody zero closing"),
+            (1, f"different body one entirely\n{footer}\nanother tail here"),
+            (2, "totally other words\nno shared boilerplate\nunique tail"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        assert dedup_spans(df).count() == 0
+        comp = {
+            (r.doc_id, r.span_idx): (r.rep_doc_id, r.rep_span_idx)
+            for r in dedup_shingles(df, k=3).collect()
+        }
+        # the fully-inside-footer window starts at line 1 in both docs;
+        # windows overlapping body lines are doc-unique
+        assert comp == {(0, 1): (0, 1), (1, 1): (0, 1)}
+
+
+class TestShinglesRandomizedOracle:
+    """Seeded random line corpora vs a pure-Python exact oracle (same
+    style as TestSpansRandomizedOracle): all-pairs distinct-word Jaccard
+    over 3-line windows + union-find with min-key representatives."""
+
+    def _oracle(self, docs, k=3, threshold=0.8):
+        spans = {}
+        for d, text in docs:
+            lines = text.split("\n")
+            for i in range(len(lines) - k + 1):
+                toks = set("\n".join(lines[i:i + k]).split())
+                if toks:
+                    spans[(d, i)] = toks
+        keys = sorted(spans)
+        parent = {key: key for key in keys}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ai in range(len(keys)):
+            for bi in range(ai + 1, len(keys)):
+                a, b = keys[ai], keys[bi]
+                sa, sb = spans[a], spans[b]
+                inter = len(sa & sb)
+                if inter / (len(sa) + len(sb) - inter) >= threshold:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {key: find(key) for key in keys}
+        sizes = {}
+        for r in comp.values():
+            sizes[r] = sizes.get(r, 0) + 1
+        return {key: r for key, r in comp.items() if sizes[r] >= 2}
+
+    @pytest.mark.parametrize("seed", [11, 29])
+    def test_components_match_unionfind_oracle(self, spark, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(10)]
+        docs = []
+        for d in range(12):
+            lines = [
+                " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 5)))
+                for _ in range(rng.randint(1, 6))
+            ]
+            docs.append((d, "\n".join(lines)))
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.span_idx): (r.rep_doc_id, r.rep_span_idx)
+            for r in dedup_shingles(df, k=3, threshold=0.8).collect()
+        }
+        assert got == self._oracle(docs)
 
 
 class TestSpansRandomizedOracle:
