@@ -1602,6 +1602,131 @@ FROM scores ORDER BY doc_id
 """
 
 
+def _pii_spiked_text():
+    # deterministic PII spikes so the scrub classes are exercised at ANY
+    # sf (the generated corpora contain no natural emails/IPs/phones):
+    # doc_id % 7 picks the class, the payload derives from doc_id so
+    # both engines reconstruct it exactly.
+    k = F.col("doc_id") % 7
+    did = F.col("doc_id").cast("string")
+    return (
+        F.when(k == 0, F.concat(
+            F.col("text"), F.lit(" contact agent"), did,
+            F.lit("@example.com now"),
+        ))
+        .when(k == 1, F.concat(
+            F.col("text"), F.lit(" origin host 10."),
+            (F.col("doc_id") % 200).cast("string"), F.lit(".0.77 logged"),
+        ))
+        .when(k == 2, F.concat(
+            F.col("text"), F.lit(" call +1 555-"),
+            F.lpad((F.col("doc_id") % 900).cast("string"), 3, "0"),
+            F.lit("-2368 today"),
+        ))
+        .when(k == 3, F.concat(
+            F.col("text"), F.lit(" token "),
+            F.substring(F.sha2(did, 256), 1, 40), F.lit(" issued"),
+        ))
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+
+
+def _q_text_pii(spark, sf):
+    # PII scrub pass (ops/pii.pii_stats): per-class regex counts + a
+    # fully redacted text column, all pure Catalyst in one projection.
+    # Patterns are RE2-compatible by design so the DuckDB oracle runs
+    # the IDENTICAL pattern strings.
+    from crrf_det_spark.ops.pii import pii_stats
+
+    d = _t(spark, sf, "documents")
+    docs2 = d.select("doc_id", _pii_spiked_text())
+    return pii_stats(docs2).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "n_hex_secret",
+        "n_pii_total", "text_redacted",
+    ).orderBy("doc_id")
+
+
+# same spike construction + the same four pattern strings (ops/pii.py
+# PII_PATTERNS), counted with regexp_extract_all and redacted with
+# global regexp_replace in PII_PATTERNS order
+_O_TEXT_PII = r"""
+WITH spiked AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN text || ' contact agent' || CAST(doc_id AS VARCHAR)
+                       || '@example.com now'
+           WHEN 1 THEN text || ' origin host 10.'
+                       || CAST(doc_id % 200 AS VARCHAR) || '.0.77 logged'
+           WHEN 2 THEN text || ' call +1 555-'
+                       || lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0')
+                       || '-2368 today'
+           WHEN 3 THEN text || ' token '
+                       || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40)
+                       || ' issued'
+           ELSE text
+         END AS text
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text,
+      '(?:\+\d{1,3}[- ])?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}')) AS n_phone,
+  len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b')) AS n_hex_secret,
+  len(regexp_extract_all(text,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+  + len(regexp_extract_all(text,
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+  + len(regexp_extract_all(text,
+      '(?:\+\d{1,3}[- ])?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}'))
+  + len(regexp_extract_all(text, '\b[0-9a-f]{32,}\b')) AS n_pii_total,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '<PII:EMAIL>', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<PII:IPV4>', 'g'),
+      '(?:\+\d{1,3}[- ])?\(?\d{3}\)?[- ]\d{3}[- ]\d{4}',
+      '<PII:PHONE>', 'g'),
+    '\b[0-9a-f]{32,}\b', '<PII:HEX_SECRET>', 'g') AS text_redacted
+FROM spiked ORDER BY doc_id
+"""
+
+
+def _q_contamination_probe(spark, sf):
+    # benchmark-contamination probe (ops/pii.contamination_probe): the
+    # "benchmark" is every 13th document's normalized-text digest —
+    # derived from the corpus itself so both engines build the identical
+    # digest set at any sf.  Broadcast digest set -> map-side semi-join.
+    from crrf_det_spark.ops.curate import normalized_digest
+    from crrf_det_spark.ops.pii import contamination_probe
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 13 == 0).select(
+        normalized_digest(F.col("text")).alias("digest")
+    )
+    return contamination_probe(d, bench).orderBy("doc_id")
+
+
+_O_CONTAMINATION = """
+WITH dig AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS digest
+  FROM documents
+), bench AS (
+  SELECT DISTINCT digest FROM dig WHERE doc_id % 13 = 0
+)
+SELECT d.doc_id, d.digest
+FROM dig d JOIN bench b USING (digest)
+ORDER BY d.doc_id
+"""
+
+
 def _q_curate_corpus(spark, sf):
     # end-to-end curation (ops/curate.curate_corpus): annotate
     # (langid/quality/tokens), drop quality < 0.5, then whitespace-
@@ -2207,6 +2332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "text_pii": _q_text_pii,
+        "contamination_probe": _q_contamination_probe,
         "curate_corpus": _q_curate_corpus,
         "curation_report": _q_curation_report,
         "extraction_segments": _q_extraction_segments,
@@ -2282,6 +2409,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _O_TEXT_FP,
         "text_quality": _O_TEXT_QUALITY,
         "text_langid": _O_TEXT_LANGID,
+        "text_pii": _O_TEXT_PII,
+        "contamination_probe": _O_CONTAMINATION,
         "curate_corpus": _O_CURATE_CORPUS,
         "curation_report": _O_CURATION_REPORT,
         "mm_binarize": _O_MM_BINARIZE,

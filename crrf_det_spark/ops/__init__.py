@@ -48,6 +48,13 @@ from .spans import (  # noqa: F401
     dedup_shingles,
     strip_repeated_spans,
 )
+from .pii import (  # noqa: F401
+    PII_PATTERNS,
+    contamination_probe,
+    pii_counts,
+    pii_stats,
+    redact_pii,
+)
 from .textstats import (  # noqa: F401
     language_id,
     quality_score,
