@@ -21,6 +21,7 @@ DataFrame level.
 
 from __future__ import annotations
 
+import bisect
 import re
 
 import numpy as np
@@ -481,7 +482,15 @@ def row_groups_from_column(
     if not all_rows:
         return [], row_vspacings
 
-    if line_px is None:
+    # px mode needs at least one TRUE band among this column's content
+    # lines: with zero anchors every band would be synthetic and the px
+    # thresholds meaningless — fall back to quantized mode instead
+    # (round-4 ADVICE: never mix coordinate systems).
+    anchors = (
+        [int(i) for i in nonblank if line_px.get(int(i)) is not None]
+        if line_px is not None else []
+    )
+    if not anchors:
         # quantized v-unit measurement space (inclusive row ends)
         meas = all_rows
         th_hard = MIN_SPACING_HARD_SPLIT
@@ -496,14 +505,35 @@ def row_groups_from_column(
         # true pixel measurement space, reference thresholds verbatim.
         # [y0, y1) half-open extents convert to the reference's inclusive
         # row convention (rows[i] = [first_ink_row, last_ink_row]).
+        # Lines WITHOUT true geometry (pdfmini emits meta=None when ty is
+        # unknown) interpolate between their nearest true-geometry
+        # neighbors — a raw line_index * pitch fallback would sit in a
+        # different coordinate system than its neighbors' raster y's and
+        # drive arbitrary split/merge decisions (round-4 ADVICE).
         meas = []
         for i in nonblank:
-            ext = line_px.get(int(i))
-            if ext is not None:
-                meas.append([float(ext[0]), float(ext[1]) - 1.0])
-            else:
-                y0 = float(i) * REF_LINE_PITCH_PX
-                meas.append([y0, y0 + LINE_H * PX_PER_VUNIT - 1.0])
+            ii = int(i)
+            ext = line_px.get(ii)
+            if ext is None:
+                at = bisect.bisect_left(anchors, ii)
+                p = anchors[at - 1] if at > 0 else None
+                n = anchors[at] if at < len(anchors) else None
+                if p is not None and n is not None:
+                    t = (ii - p) / (n - p)
+                    pe, ne = line_px[p], line_px[n]
+                    ext = [
+                        pe[0] + t * (ne[0] - pe[0]),
+                        pe[1] + t * (ne[1] - pe[1]),
+                    ]
+                elif p is not None:
+                    pe = line_px[p]
+                    d = (ii - p) * REF_LINE_PITCH_PX
+                    ext = [pe[0] + d, pe[1] + d]
+                else:
+                    ne = line_px[n]
+                    d = (n - ii) * REF_LINE_PITCH_PX
+                    ext = [ne[0] - d, ne[1] - d]
+            meas.append([float(ext[0]), float(ext[1]) - 1.0])
         th_hard = REF_MIN_SPACING_HARD_SPLIT_PX
         th_soft = REF_MIN_SPACING_SOFT_SPLIT_PX
         th_single = REF_MIN_SINGLE_ROW_GROUP_HEIGHT_PX

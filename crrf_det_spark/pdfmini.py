@@ -24,9 +24,12 @@ Two parsing paths, tried in order:
   containing ``BT`` and decode strings as latin-1 — the round-1 behavior,
   unchanged.
 
-Still not supported (the parser skips rather than erroring): encrypted
-documents, non-Flate stream codecs, font ``/Differences`` encodings
-without a ToUnicode CMap.
+Stream codecs: FlateDecode (+ PNG predictors) and LZWDecode (round 5;
+/EarlyChange honored).  Simple-font ``/Encoding /Differences`` remaps
+decode through an Adobe-Glyph-List subset + ``/uniXXXX`` names (round
+5).  Still not supported (the parser skips rather than erroring):
+encrypted documents, image codecs (DCT/JBIG2/CCITT — no text inside),
+RunLength/ASCIIHex/ASCII85 stream filters.
 
 The extracted lines feed the SAME grid kernel as plain-text turns, so PDF
 payloads get identical layout analysis (columns, tables, boilerplate).
@@ -93,6 +96,52 @@ def _png_unpredict(data: bytes, columns: int, bpp: int = 1) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
+    """PDF LZWDecode (ISO 32000 7.4.4): variable 9-12 bit codes, MSB
+    first, 256 = clear table, 257 = end of data.  ``early`` is the
+    /EarlyChange DecodeParm (default 1: the code width grows one code
+    early — width w while next_code + early < 2^w, the convention real
+    encoders emit and poppler/pdf.js decode).  None on corrupt input."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    next_code = 258
+    width = 9
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            bitbuf &= (1 << nbits) - 1
+            if code == 256:
+                table.clear()
+                next_code = 258
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]  # KwKwK case
+            else:
+                return None
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            out.extend(entry)
+            prev = entry
+    return bytes(out)  # tolerate missing EOD (matches real decoders)
+
+
 def _decode_stream(d: bytes, data: bytes) -> bytes | None:
     """Apply the dict's /Filter (+ /DecodeParms predictor) to raw stream
     bytes; None when the codec is unsupported or corrupt."""
@@ -101,6 +150,12 @@ def _decode_stream(d: bytes, data: bytes) -> bytes | None:
             data = zlib.decompress(data)
         except zlib.error:
             return None
+    elif b"/LZWDecode" in d:
+        em = re.search(rb"/EarlyChange\s+(\d+)", d)
+        lzw = _lzw_decode(data, early=int(em.group(1)) if em else 1)
+        if lzw is None:
+            return None
+        data = lzw
     elif re.search(rb"/Filter\s*[/\[]", d):
         return None  # other codecs unsupported
     m = re.search(rb"/Predictor\s+(\d+)", d)
@@ -334,11 +389,68 @@ def _parse_cmap(data: bytes) -> tuple[dict[int, str], int]:
     return cmap, (width or 1)
 
 
+# glyph name -> text for simple-font /Differences encodings: the
+# non-letter ASCII block of the Adobe Glyph List plus the common
+# typographic names real writers remap (single-character names map to
+# themselves, /uniXXXX parses directly)
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@",
+    "bracketleft": "[", "backslash": "\\", "bracketright": "]",
+    "asciicircum": "^", "underscore": "_", "grave": "`",
+    "braceleft": "{", "bar": "|", "braceright": "}", "asciitilde": "~",
+    "bullet": "•", "endash": "–", "emdash": "—",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "Euro": "€", "degree": "°", "copyright": "©",
+    "registered": "®", "trademark": "™",
+}
+
+
+def _glyph_to_text(name: str) -> str:
+    if len(name) == 1:
+        return name
+    if name in _GLYPH_NAMES:
+        return _GLYPH_NAMES[name]
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    return "�"
+
+
+def _parse_differences(enc: bytes) -> dict[int, str]:
+    """/Encoding dict bytes -> {code: text} from its /Differences array
+    (``[ code /name /name ... code /name ]`` — each number resets the
+    code counter, each name consumes one code)."""
+    m = re.search(rb"/Differences\s*\[(.*?)\]", enc, re.DOTALL)
+    if not m:
+        return {}
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/\[\]<>()]+)", m.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            if 0 <= code <= 255:
+                out[code] = _glyph_to_text(tok.group(2).decode("latin-1"))
+            code += 1
+    return out
+
+
 def _page_fonts(
     objs: dict[int, bytes], page: bytes
 ) -> dict[bytes, tuple[dict[int, str], int]]:
     """Page dict -> {font resource name: (cmap, code width)} for fonts
-    carrying a ToUnicode CMap; fonts without one decode as latin-1."""
+    carrying a ToUnicode CMap or a simple-font /Encoding /Differences
+    remap (reference parity: poppler resolves both,
+    /root/reference/src/tpdf/docmt.py:41-51); fonts with neither decode
+    as latin-1."""
     fonts: dict[bytes, tuple[dict[int, str], int]] = {}
     res = _dict_value(objs, page, b"Resources")
     if not res:
@@ -351,14 +463,23 @@ def _page_fonts(
         if not fobj:
             continue
         tu = _ref(fobj, b"ToUnicode")
-        if tu is None or tu not in objs:
-            continue
-        parts = _object_stream_parts(objs[tu])
-        if not parts:
-            continue
-        cmap, width = _parse_cmap(parts[1])
-        if cmap:
-            fonts[fm.group(1)] = (cmap, width)
+        if tu is not None and tu in objs:
+            parts = _object_stream_parts(objs[tu])
+            if parts:
+                cmap, width = _parse_cmap(parts[1])
+                if cmap:
+                    fonts[fm.group(1)] = (cmap, width)
+                    continue
+        enc = _dict_value(objs, fobj, b"Encoding")
+        if enc:
+            diff = _parse_differences(enc)
+            if diff:
+                # full single-byte map: latin-1 identity overlaid with
+                # the Differences remap, so unmapped codes keep the
+                # no-encoding behavior
+                cmap = {c: chr(c) for c in range(256)}
+                cmap.update(diff)
+                fonts[fm.group(1)] = (cmap, 1)
     return fonts
 
 
@@ -466,6 +587,7 @@ def _stream_lines_meta(
     size: float = 11.0        # current font size
     leading: float | None = None  # TL / TD leading for T* ' "
     unit: float | None = None     # nominal single-line downward step
+    step_counts: dict[float, int] = {}  # candidate leadings -> frequency
     shown = False             # a show op happened on the current line
 
     def newline():
@@ -497,8 +619,20 @@ def _stream_lines_meta(
                 for _ in range(min(20, round(step / unit) - 1)):
                     lines.append("")
                     metas.append(None)
-            elif step >= 1 and (unit is None or step < unit):
-                unit = step
+            # the nominal leading is the MODAL plausible step, not the
+            # minimum: a single small positional move (2pt footnote /
+            # superscript shift, common in real writers) would poison a
+            # min for the rest of the document, turning every normal
+            # 14pt leading into ~6 spurious blank lines.  Plausible =
+            # at least 0.8x the current font size (glyphs can't
+            # single-space tighter than that); ties break to the
+            # smaller step so paragraph gaps never outvote leadings.
+            if step >= max(1.0, 0.8 * size):
+                key = round(step, 1)
+                step_counts[key] = step_counts.get(key, 0) + 1
+                unit = max(
+                    step_counts.items(), key=lambda kv: (kv[1], -kv[0])
+                )[0]
         ty = new_ty
 
     def show():
@@ -675,13 +809,15 @@ def _document_lines_geometry(
     out: list[str] = []
     geom: dict[int, list[float]] = {}
     any_content = False
-    scale: float | None = None
-    offset_pt = 0.0
+    offset_px = 0.0
     for num in order:
         page = objs[num]
         page_w, page_h = _media_box(page)
-        if scale is None:
-            scale = _REF_RASTER_NARROW_PX / min(page_w, page_h)
+        # per-page raster scale: the reference rasterizes EVERY page at
+        # narrow-side -> 400px, so a mixed-size document (letter body +
+        # A5 appendix) must not inherit page 1's scale (round-4 ADVICE);
+        # pages stack in PX space with each page at its own scale
+        scale = _REF_RASTER_NARROW_PX / max(min(page_w, page_h), 1.0)
         fonts = _page_fonts(objs, page)
         streams = _page_content(objs, page)
         if streams:
@@ -700,9 +836,12 @@ def _document_lines_geometry(
             if meta is None:
                 continue
             ty, size = meta
-            top_pt = offset_pt + (page_h - ty) - 0.75 * size
-            geom[base + i] = [top_pt * scale, (top_pt + size) * scale]
-        offset_pt += page_h
+            top_pt = (page_h - ty) - 0.75 * size
+            geom[base + i] = [
+                offset_px + top_pt * scale,
+                offset_px + (top_pt + size) * scale,
+            ]
+        offset_px += page_h * scale
     return (out, geom) if any_content else None
 
 
@@ -781,6 +920,97 @@ def make_pdf(
         % (len(content), filt, content),
         b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
         b"endobj",
+    ]
+    body = b"%PDF-1.4\n" + b"\n".join(objs)
+    return body + b"\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """LZW encoder matching ``_lzw_decode`` (fixture writer: real tool
+    PDFs are decoded, never produced, by this module).  Emits a leading
+    clear code and a trailing EOD; width grows one table-slot after the
+    decoder's bump point because the encoder's table is one entry ahead
+    of the decoder's at each code boundary."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    bitbuf = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        bitbuf &= (1 << nbits) - 1
+
+    emit(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i: i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w])
+        if next_code <= 4095:
+            table[w + c] = next_code
+            next_code += 1
+            if next_code + early > (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def make_pdf_diff(lines: list[str]) -> bytes:
+    """Single-page classic-body PDF with (a) an LZWDecode content stream
+    and (b) a simple Type1 font whose /Encoding /Differences remaps the
+    digit codes 0x01-0x0A to glyph names /zero../nine — on-wire string
+    bytes are NOT the text, so correct extraction proves both the LZW
+    decoder and the Differences decode ran (the two shapes the reference
+    gets free from poppler, /root/reference/src/tpdf/docmt.py:41-51).
+    Non-digit characters pass through the latin-1 identity base map."""
+    remap = {ord("0") + i: 1 + i for i in range(10)}
+
+    def enc(s: str) -> str:
+        coded = bytes(remap.get(b, b) for b in s.encode("latin-1"))
+        return "".join(
+            f"\\{b:03o}" if b < 32 or chr(b) in "\\()" else chr(b)
+            for b in coded
+        )
+
+    ops = ["BT", "/F1 11 Tf", "72 760 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append("0 -14 Td")
+        ops.append(f"({enc(ln)}) Tj")
+    ops.append("ET")
+    content = _lzw_encode("\n".join(ops).encode("latin-1"))
+    if content.endswith((b"\n", b"\r")):
+        # stream readers rstrip \r\n before "endstream"; a pad byte after
+        # the EOD code keeps the real tail out of the strip zone
+        content += b"\x00"
+    differences = " ".join(
+        ["1"] + ["/zero /one /two /three /four /five /six /seven "
+                 "/eight /nine"]
+    ).encode("ascii")
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj",
+        b"4 0 obj << /Length %d /Filter /LZWDecode >> stream\n%s\nendstream"
+        b" endobj" % (len(content), content),
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /Type /Encoding /Differences [ %s ] >> >> endobj"
+        % differences,
     ]
     body = b"%PDF-1.4\n" + b"\n".join(objs)
     return body + b"\ntrailer << /Root 1 0 R >>\n%%EOF\n"

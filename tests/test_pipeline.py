@@ -156,6 +156,49 @@ def test_payload_turns_cid_cmap_xref_stream_pdf(spark):
     assert "unaudited" in row.extracted_text
 
 
+def test_payload_turns_differences_lzw_pdf(spark):
+    """Round-5 VERDICT #4 'done' criterion: a fixture PDF with an
+    LZWDecode content stream and a /Differences-encoded simple font
+    roundtrips through extract_payload_turns with golden spans — digits
+    ride control codes 0x01-0x0A on the wire, so the exact table values
+    prove both decoders ran."""
+    from crrf_det_spark.pdfmini import make_pdf_diff
+    from crrf_det_spark.pipeline import extract_payload_turns
+
+    pdf = make_pdf_diff([
+        "Account      Q1      Q2",
+        "Revenue      100     200",
+        "Cost         40      90",
+        "",
+        "Totals are preliminary and unaudited, pending further review.",
+    ])
+    df = spark.createDataFrame(
+        [("c1", 0, bytearray(pdf))],
+        "conv_id string, turn_idx int, payload binary",
+    )
+    row = extract_payload_turns(df, num_partitions=2).collect()[0]
+    tables = [s for s in row.segments if s.type == "table"]
+    assert len(tables) == 1
+    assert tables[0].rows[0] == ["Account", "Q1", "Q2"]
+    assert tables[0].rows[1] == ["Revenue", "100", "200"]
+    assert "unaudited" in row.extracted_text
+    # parity pin: the Differences/LZW route must land byte-identical to
+    # the same page through the CID/Flate route (same kernel inputs)
+    from crrf_det_spark.pdfmini import (
+        make_pdf_cid, make_pdf_diff, pdf_text_lines_geometry,
+    )
+
+    src = [
+        "Account      Q1      Q2",
+        "Revenue      100     200",
+        "Cost         40      90",
+        "",
+        "Totals are preliminary and unaudited, pending further review.",
+    ]
+    assert (pdf_text_lines_geometry(make_pdf_diff(src))
+            == pdf_text_lines_geometry(make_pdf_cid(src)))
+
+
 def test_single_conversation_skew_is_salted_across_partitions(spark):
     """Worst-case conversation skew: ONE conv with 20k turns must spread
     across all partitions via the turn-slice salt (north rule: explicit
