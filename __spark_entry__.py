@@ -1383,6 +1383,46 @@ ORDER BY k.doc_id, k.span_idx
 """
 
 
+def _q_dedup_shingles_strip(spark, sf):
+    # the keep-one corpus surface of shingle dedup: every line covered
+    # by a non-representative duplicate 3-line shingle removed, lines
+    # rejoined in original order, one row per input doc.  Same spliced
+    # corpus as dedup_shingles.
+    from crrf_det_spark.ops.spans import strip_repeated_shingles
+
+    d = _t(spark, sf, "documents")
+    docs2 = d.select("doc_id", _shingle_footer_text())
+    return strip_repeated_shingles(docs2, k=3, threshold=0.8).orderBy(
+        "doc_id"
+    )
+
+
+_O_DEDUP_SHINGLES_STRIP = _CTE_SHINGLES + """
+, nonrep AS (
+  SELECT k.doc_id, k.span_idx
+  FROM comp JOIN keyed k USING (uid) WHERE c <> uid
+), covered AS (
+  SELECT DISTINCT doc_id, span_idx + i AS line_idx
+  FROM nonrep, unnest(range(0, 3)) AS t(i)
+), docline AS (
+  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS line_idx,
+         unnest(ls) AS line
+  FROM doclines
+), keptline AS (
+  SELECT dl.doc_id, dl.line_idx, dl.line
+  FROM docline dl LEFT JOIN covered c
+    ON dl.doc_id = c.doc_id AND dl.line_idx = c.line_idx
+  WHERE c.doc_id IS NULL
+)
+SELECT d.doc_id,
+       COALESCE(string_agg(kl.line, chr(10) ORDER BY kl.line_idx), '')
+         AS text
+FROM docs2 d LEFT JOIN keptline kl ON d.doc_id = kl.doc_id
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def _q_ann_topk(spark, sf):
     # brute-force cosine top-k against a fixed deterministic query vector
     from crrf_det_spark.ops import brute_force_topk
@@ -2325,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _q_dedup_spans,
         "dedup_spans_strip": _q_dedup_spans_strip,
         "dedup_shingles": _q_dedup_shingles,
+        "dedup_shingles_strip": _q_dedup_shingles_strip,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -2385,6 +2426,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_spans": _O_DEDUP_SPANS,
         "dedup_spans_strip": _O_DEDUP_SPANS_STRIP,
         "dedup_shingles": _O_DEDUP_SHINGLES,
+        "dedup_shingles_strip": _O_DEDUP_SHINGLES_STRIP,
         "ann_topk": _O_ANN,
         # ann_ivf's probe set provably covers the exact top-k on this
         # corpus, so the brute-force cosine oracle applies verbatim

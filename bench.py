@@ -202,16 +202,21 @@ def _extract_once(transcripts_path: str, cores: int, limit: int | None) -> None:
         # would gather to one partition): hash-sample conversations
         frac_denom = max(1, round(total / limit))
         df = df.filter(F.pmod(F.hash("conv_id"), F.lit(frac_denom)) == 0)
-    # Warmup OUTSIDE the timed region: a ~1%-of-corpus extraction pass
+    # Warmup OUTSIDE the timed region: a ~10%-of-leg extraction pass
     # through the identical plan forks every Python worker, initializes
     # Arrow, and JITs the hot JVM paths.  A production extraction job
-    # runs for hours, so per-process startup amortizes to ~0; including
-    # it in a 30-100s measured pass systematically biases the SHORT
-    # (high-core) leg down and understates scaling efficiency.  The
-    # warmup sample goes through the same salted repartition, so all
-    # `cores` workers start (hash-disjoint from nothing — reuse is by
-    # worker process, not by data).
-    warm_denom = max(1, round(total / max(2_000, cores * 200)))
+    # runs for hours, so per-process ramp amortizes to ~0; including it
+    # in a 30-100s measured pass systematically biases the SHORT
+    # (high-core) leg down and understates scaling efficiency.  Round-4's
+    # ~3k-turn warmup was too small to finish C2 JIT of the hot
+    # codegen/Arrow paths — measured directly in round 5: the same warm
+    # 16-core 500k-turn pass runs 33s vs 40s behind a tiny warmup, a
+    # ramp constant that read as ~0.08 of fake anti-scaling in the
+    # linear window.  The warmup sample goes through the same salted
+    # repartition, so all `cores` workers start (reuse is by worker
+    # process, not by data).
+    n_target = limit or total
+    warm_denom = max(1, round(total / max(20_000, n_target // 10)))
     # pmod(x, 1) == 1 never holds, so a denom of 1 (tiny/smoke corpora,
     # exactly where startup bias is worst) must fall back to warming on
     # the whole corpus instead of a zero-row no-op (round-3 ADVICE).
@@ -365,7 +370,7 @@ def main() -> None:
 
     # --- scaling evidence: same job, same input, N vs 4N cores ---
     # window A (linear region, THE north-rule pair): 4 vs 16 cores on a
-    # 250k-turn prefix.  Both sizes sit inside the machine's linear-
+    # 500k-turn prefix.  Both sizes sit inside the machine's linear-
     # scaling region (the round-2/3 2v8 pair swung 0.59-1.16 run-to-run
     # because the 2-core leg rides per-core turbo/steal on this VM; 4
     # cores damps that, 16 stays below the bandwidth knee).  k=7
@@ -384,8 +389,17 @@ def main() -> None:
     k_linear = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS_LINEAR", "7"))
     k_sat = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_RUNS", "5"))
     small_a, big_a = max(1, CPUS // 8), max(1, CPUS // 2)
+    # mp_rows=250k on BOTH windows (round 5): at 16 cores a 100k-row
+    # control leg ran ~6-8s — short enough that one lucky burst-free
+    # draw put the control's min 30% below its cluster and inflated its
+    # efficiency artificially.
+    # limit 250k -> 500k (round 5): even ramp-free, a 16-core 250k leg
+    # carries ~5s of fixed job cost against ~12s of kernel; at 500k the
+    # fixed share halves and the window measures the kernel's scaling,
+    # not the scheduler's constant (production legs are hours long).
     win_a = _scaling_window(
-        transcripts_path, small_a, big_a, limit=250_000, k=k_linear
+        transcripts_path, small_a, big_a, limit=500_000, k=k_linear,
+        mp_rows=250_000,
     )
     # saturation window gets the same min-of-k hardening as the linear
     # pair (round-4 VERDICT #1: its k=3 legs spread 61.6-134.6s, 2.2x)

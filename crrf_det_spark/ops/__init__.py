@@ -47,6 +47,7 @@ from .spans import (  # noqa: F401
     dedup_spans,
     dedup_shingles,
     strip_repeated_spans,
+    strip_repeated_shingles,
 )
 from .pii import (  # noqa: F401
     PII_PATTERNS,

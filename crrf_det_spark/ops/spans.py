@@ -257,6 +257,72 @@ def dedup_shingles(
     )
 
 
+def strip_repeated_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 32,
+    threshold: float = 0.8,
+    seed: int = 42,
+    span_bits: int = SPAN_BITS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The keep-one corpus surface of shingle dedup: every LINE covered
+    by a non-representative duplicate k-line shingle is removed; the
+    representative occurrence (and all unique content) survives.
+
+    Coverage logic: only windows fully inside a repeated m-line block
+    are duplicates (straddling windows contain doc-unique context), and
+    their union covers exactly the block's lines — so stripping the
+    covered line set removes the repeated block and nothing else.
+    Returns (doc_id, text) with surviving lines rejoined by newline in
+    original order; one row per input document."""
+    spans = line_shingles(docs, text_col=text_col, k=k, id_col=id_col)
+    comp = _resolve_span_components(
+        spans, num_hashes=num_hashes, threshold=threshold, seed=seed,
+        span_bits=span_bits,
+    )
+    covered = (
+        comp.filter(
+            (F.col("doc_id") != F.col("rep_doc_id"))
+            | (F.col("span_idx") != F.col("rep_span_idx"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("span_idx"), F.col("span_idx") + F.lit(k - 1)
+                )
+            ).alias("line_idx"),
+        )
+        .distinct()
+    )
+    doclines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_idx", "line"
+        ),
+    )
+    kept = doclines.join(covered, ["doc_id", "line_idx"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(reassembled, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )
+
+
 def _resolve_span_components(
     spans: DataFrame,
     num_hashes: int,

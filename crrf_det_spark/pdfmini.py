@@ -24,12 +24,13 @@ Two parsing paths, tried in order:
   containing ``BT`` and decode strings as latin-1 — the round-1 behavior,
   unchanged.
 
-Stream codecs: FlateDecode (+ PNG predictors) and LZWDecode (round 5;
-/EarlyChange honored).  Simple-font ``/Encoding /Differences`` remaps
-decode through an Adobe-Glyph-List subset + ``/uniXXXX`` names (round
-5).  Still not supported (the parser skips rather than erroring):
-encrypted documents, image codecs (DCT/JBIG2/CCITT — no text inside),
-RunLength/ASCIIHex/ASCII85 stream filters.
+Stream codecs (chainable, spec order): FlateDecode (+ PNG predictors),
+LZWDecode (/EarlyChange honored), ASCIIHexDecode, ASCII85Decode,
+RunLengthDecode (round 5).  Simple-font ``/Encoding /Differences``
+remaps decode through an Adobe-Glyph-List subset + ``/uniXXXX`` names
+(round 5).  Still not supported (the parser skips rather than
+erroring): encrypted documents, image codecs (DCT/JBIG2/CCITT — no
+text inside them anyway).
 
 The extracted lines feed the SAME grid kernel as plain-text turns, so PDF
 payloads get identical layout analysis (columns, tables, boilerplate).
@@ -142,22 +143,89 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes | None:
     return bytes(out)  # tolerate missing EOD (matches real decoders)
 
 
+def _asciihex_decode(data: bytes) -> bytes | None:
+    body = re.sub(rb"\s", b"", data.split(b">", 1)[0])
+    if len(body) % 2:
+        body += b"0"
+    try:
+        return bytes.fromhex(body.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85_decode(data: bytes) -> bytes | None:
+    import base64
+
+    body = data.strip()
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    if body.startswith(b"<~"):
+        body = body[2:]
+    try:
+        return base64.a85decode(
+            body, adobe=False, ignorechars=b" \t\n\r\v\f"
+        )
+    except ValueError:
+        return None
+
+
+def _runlength_decode(data: bytes) -> bytes | None:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            chunk = data[i + 1: i + 2 + n]
+            if len(chunk) != n + 1:
+                return None
+            out += chunk
+            i += 2 + n
+        else:
+            if i + 1 >= len(data):
+                return None
+            out += data[i + 1: i + 2] * (257 - n)
+            i += 2
+    return bytes(out)
+
+
 def _decode_stream(d: bytes, data: bytes) -> bytes | None:
-    """Apply the dict's /Filter (+ /DecodeParms predictor) to raw stream
-    bytes; None when the codec is unsupported or corrupt."""
-    if b"/FlateDecode" in d:
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return None
-    elif b"/LZWDecode" in d:
-        em = re.search(rb"/EarlyChange\s+(\d+)", d)
-        lzw = _lzw_decode(data, early=int(em.group(1)) if em else 1)
-        if lzw is None:
-            return None
-        data = lzw
-    elif re.search(rb"/Filter\s*[/\[]", d):
-        return None  # other codecs unsupported
+    """Apply the dict's /Filter chain (+ /DecodeParms predictor) to raw
+    stream bytes; None when a codec is unsupported or corrupt.  Filters
+    apply left to right per the spec (``[/ASCII85Decode /FlateDecode]``
+    un-ASCIIs first, then inflates)."""
+    fm = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
+    filters = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1)) if fm else []
+    for f in filters:
+        if f == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                return None
+        elif f == b"LZWDecode":
+            em = re.search(rb"/EarlyChange\s+(\d+)", d)
+            nxt = _lzw_decode(data, early=int(em.group(1)) if em else 1)
+            if nxt is None:
+                return None
+            data = nxt
+        elif f == b"ASCIIHexDecode":
+            nxt = _asciihex_decode(data)
+            if nxt is None:
+                return None
+            data = nxt
+        elif f == b"ASCII85Decode":
+            nxt = _ascii85_decode(data)
+            if nxt is None:
+                return None
+            data = nxt
+        elif f == b"RunLengthDecode":
+            nxt = _runlength_decode(data)
+            if nxt is None:
+                return None
+            data = nxt
+        else:
+            return None  # image codecs / crypt filters unsupported
     m = re.search(rb"/Predictor\s+(\d+)", d)
     if m and int(m.group(1)) >= 10:
         cm = re.search(rb"/Columns\s+(\d+)", d)

@@ -385,3 +385,68 @@ def test_partial_geometry_interpolates_instead_of_mixing_spaces():
     partial = extract_turn(text, line_px=partial_geom)
     assert len(full) == 1  # uniform 14pt leading: one group
     assert partial == full
+
+
+def test_asciihex_ascii85_runlength_filters():
+    import base64
+    import zlib as _z
+
+    from crrf_det_spark.pdfmini import _decode_stream
+
+    payload = b"BT (hello) Tj ET"
+    # ASCIIHexDecode, with whitespace and the '>' terminator
+    hx = payload.hex().encode()
+    spaced = b" ".join(hx[i:i + 4] for i in range(0, len(hx), 4)) + b">"
+    assert _decode_stream(b"/Filter /ASCIIHexDecode", spaced) == payload
+    # odd-length hex pads a trailing zero nibble (spec behavior)
+    assert _decode_stream(b"/Filter /ASCIIHexDecode", b"41424>") == b"AB@"
+    # ASCII85Decode with the ~> EOD marker
+    a85 = base64.a85encode(payload) + b"~>"
+    assert _decode_stream(b"/Filter /ASCII85Decode", a85) == payload
+    # RunLengthDecode: literal run + repeat run + EOD
+    rle = bytes([2]) + b"abc" + bytes([257 - 100]) + b"x"
+    expect = b"abc" + b"x" * 100
+    assert _decode_stream(b"/Filter /RunLengthDecode",
+                          rle + bytes([128])) == expect
+    # filter CHAIN, spec order: un-ASCII first, then inflate
+    chained = base64.a85encode(_z.compress(payload)) + b"~>"
+    assert _decode_stream(
+        b"/Filter [ /ASCII85Decode /FlateDecode ]", chained
+    ) == payload
+    # unknown codec still refuses
+    assert _decode_stream(b"/Filter /DCTDecode", b"\xff\xd8") is None
+
+
+def test_ascii85_content_stream_extracts():
+    # a whole single-page PDF whose content stream is ASCII85-framed
+    import base64
+
+    from crrf_det_spark.pdfmini import pdf_text_lines
+
+    ops = b"BT /F1 11 Tf 72 760 Td (filtered line one) Tj " \
+          b"0 -14 Td (filtered line two) Tj ET"
+    content = base64.a85encode(ops) + b"~>"
+    objs = [
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj",
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj",
+        b"3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj",
+        b"4 0 obj << /Length %d /Filter /ASCII85Decode >> stream\n%s"
+        b"\nendstream endobj" % (len(content), content),
+        b"5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> "
+        b"endobj",
+    ]
+    pdf = (b"%PDF-1.4\n" + b"\n".join(objs)
+           + b"\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+    assert pdf_text_lines(pdf) == ["filtered line one", "filtered line two"]
+
+
+def test_zero_anchor_geometry_falls_back_to_quantized():
+    # a line_px covering NONE of the column's content lines means every
+    # band would be synthetic — the kernel must run quantized mode, not
+    # px thresholds over made-up coordinates (round-4 ADVICE)
+    from crrf_det_spark.extract import extract_turn
+
+    text = "alpha beta\ngamma delta\n\nepsilon zeta"
+    assert extract_turn(text, line_px={99: [0.0, 7.0]}) \
+        == extract_turn(text)

@@ -221,6 +221,43 @@ class TestDedupShingles:
         assert comp == {(0, 1): (0, 1), (1, 1): (0, 1)}
 
 
+class TestStripRepeatedShingles:
+    def test_strip_inline_block_keeps_one_occurrence(self, spark):
+        from crrf_det_spark.ops.spans import strip_repeated_shingles
+
+        footer = (
+            "legal notice governs this content\n"
+            "reproduction requires written permission\n"
+            "trademarks belong to their owners"
+        )
+        rows = [
+            (0, f"body zero opening words\n{footer}\nbody zero closing"),
+            (1, f"different body one entirely\n{footer}\nanother tail here"),
+            (2, "totally other words\nno shared boilerplate\nunique tail"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {
+            r.doc_id: r.text
+            for r in strip_repeated_shingles(df, k=3).collect()
+        }
+        assert out[0] == rows[0][1]  # representative occurrence intact
+        assert out[1] == "different body one entirely\nanother tail here"
+        assert out[2] == rows[2][1]  # untouched
+
+    def test_fully_stripped_doc_is_empty_not_missing(self, spark):
+        from crrf_det_spark.ops.spans import strip_repeated_shingles
+
+        block = "alpha line\nbeta line\ngamma line"
+        df = spark.createDataFrame(
+            [(1, block), (2, block)], ["doc_id", "text"]
+        )
+        out = {
+            r.doc_id: r.text
+            for r in strip_repeated_shingles(df, k=3).collect()
+        }
+        assert out == {1: block, 2: ""}
+
+
 class TestShinglesRandomizedOracle:
     """Seeded random line corpora vs a pure-Python exact oracle (same
     style as TestSpansRandomizedOracle): all-pairs distinct-word Jaccard
