@@ -450,3 +450,20 @@ def test_zero_anchor_geometry_falls_back_to_quantized():
     text = "alpha beta\ngamma delta\n\nepsilon zeta"
     assert extract_turn(text, line_px={99: [0.0, 7.0]}) \
         == extract_turn(text)
+
+
+def test_lzw_roundtrip_hypothesis():
+    from hypothesis import given, settings, strategies as st
+
+    from crrf_det_spark.pdfmini import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        data=st.binary(max_size=2000),
+        early=st.integers(min_value=0, max_value=1),
+    )
+    def roundtrip(data, early):
+        assert _lzw_decode(_lzw_encode(data, early=early),
+                           early=early) == data
+
+    roundtrip()
